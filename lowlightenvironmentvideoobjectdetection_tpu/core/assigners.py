@@ -1,0 +1,175 @@
+"""Target assignment and sampling, re-expressed with static shapes + masks.
+
+Behavior parity (semantics) with the reference:
+- MaxIoUAssigner: mmdetection/mmdet/core/bbox/assigners/max_iou_assigner.py:10
+  (pos/neg thresholding + low-quality gt->best-anchor matching with
+  ``gt_max_assign_all``).
+- RandomSampler: mmdetection/mmdet/core/bbox/samplers/random_sampler.py:8
+  (pos quota = num*pos_fraction, negatives fill the remainder).
+
+The PyTorch originals produce *dynamic-size* index lists; here everything is a
+fixed-shape mask / fixed-count gather so the whole training step stays inside
+one XLA compilation. Padded (invalid) gts/boxes are handled by validity masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    """Static-shape assignment over N candidate boxes.
+
+    assigned_gt_inds: [N] int32. -1 = unassigned (ignored), 0 = negative,
+      k>0 = matched to gt index k-1. Same encoding as the reference.
+    max_overlaps: [N] best IoU with any valid gt.
+    labels: [N] int32 class label of the matched gt (-1 where not positive).
+    """
+
+    assigned_gt_inds: jnp.ndarray
+    max_overlaps: jnp.ndarray
+    labels: jnp.ndarray
+
+
+def max_iou_assign(
+    boxes: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    pos_iou_thr: float,
+    neg_iou_thr: float,
+    min_pos_iou: float = 0.0,
+    box_valid: Optional[jnp.ndarray] = None,
+    match_low_quality: bool = True,
+    gt_max_assign_all: bool = True,
+) -> AssignResult:
+    """Assign each of N boxes to one of G (padded) gts.
+
+    boxes: [N, 4]; gt_boxes: [G, 4]; gt_labels: [G] int32; gt_valid: [G] bool.
+    box_valid: optional [N] bool (anchors outside image / padded proposals).
+    """
+    n = boxes.shape[0]
+    overlaps = bbox_overlaps(gt_boxes, boxes)  # [G, N]
+    overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
+    if box_valid is not None:
+        overlaps = jnp.where(box_valid[None, :], overlaps, -1.0)
+
+    max_overlaps = jnp.max(overlaps, axis=0)  # [N]
+    argmax_overlaps = jnp.argmax(overlaps, axis=0)  # [N]
+
+    assigned = jnp.full((n,), -1, jnp.int32)
+    # negatives: 0 <= max_overlap < neg_iou_thr
+    assigned = jnp.where(
+        (max_overlaps >= 0) & (max_overlaps < neg_iou_thr), 0, assigned
+    )
+    # positives: max_overlap >= pos_iou_thr
+    assigned = jnp.where(
+        max_overlaps >= pos_iou_thr, argmax_overlaps.astype(jnp.int32) + 1, assigned
+    )
+
+    if match_low_quality:
+        # Each gt claims the box(es) with its own max overlap, if >= min_pos_iou.
+        gt_max = jnp.max(overlaps, axis=1)  # [G]
+        claim_ok = gt_valid & (gt_max >= min_pos_iou)
+        if gt_max_assign_all:
+            # boxes tying a gt's max overlap all get assigned to it; later gts
+            # override earlier ones as in the reference's sequential loop.
+            is_max = overlaps == gt_max[:, None]  # [G, N]
+            claim = is_max & claim_ok[:, None] & (gt_max[:, None] > 0)
+            gt_ids = jnp.arange(gt_boxes.shape[0], dtype=jnp.int32) + 1
+            # last (highest-index) claiming gt wins -> scan via max over
+            # (claim * gt_id) replicates "later overrides" because the loop
+            # in the reference runs in ascending gt order.
+            claimed_id = jnp.max(jnp.where(claim, gt_ids[:, None], 0), axis=0)
+            assigned = jnp.where(claimed_id > 0, claimed_id, assigned)
+        else:
+            gt_argmax = jnp.argmax(overlaps, axis=1)  # [G]
+            def body(i, acc):
+                return jnp.where(
+                    claim_ok[i] & (gt_max[i] > 0),
+                    acc.at[gt_argmax[i]].set(i + 1),
+                    acc,
+                )
+            assigned = jax.lax.fori_loop(0, gt_boxes.shape[0], body, assigned)
+
+    labels = jnp.where(
+        assigned > 0,
+        gt_labels[jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)],
+        -1,
+    ).astype(jnp.int32)
+    return AssignResult(assigned, max_overlaps, labels)
+
+
+def _rank_by_random(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """Random rank (0-based) of each True element among True elements; large
+    rank for False elements."""
+    rand = jax.random.uniform(rng, mask.shape)
+    key = jnp.where(mask, rand, 2.0)
+    order = jnp.argsort(key)
+    ranks = jnp.empty_like(order).at[order].set(jnp.arange(mask.shape[0]))
+    return jnp.where(mask, ranks, mask.shape[0] + 1)
+
+
+class SampleMasks(NamedTuple):
+    pos_mask: jnp.ndarray  # [N] bool — sampled positives
+    neg_mask: jnp.ndarray  # [N] bool — sampled negatives
+
+
+def random_sample_masks(
+    assign: AssignResult,
+    rng: jax.Array,
+    num: int,
+    pos_fraction: float,
+) -> SampleMasks:
+    """RandomSampler as fixed-shape masks (no gather) — used by RPN loss.
+
+    Samples up to ``num * pos_fraction`` positives uniformly; negatives fill
+    the remaining quota (num - #sampled_pos), as the reference does.
+    """
+    rng_p, rng_n = jax.random.split(rng)
+    is_pos = assign.assigned_gt_inds > 0
+    is_neg = assign.assigned_gt_inds == 0
+
+    num_exp_pos = int(num * pos_fraction)
+    pos_rank = _rank_by_random(is_pos, rng_p)
+    pos_mask = is_pos & (pos_rank < num_exp_pos)
+
+    num_sampled_pos = jnp.sum(pos_mask)
+    num_exp_neg = num - num_sampled_pos
+    neg_rank = _rank_by_random(is_neg, rng_n)
+    neg_mask = is_neg & (neg_rank < num_exp_neg)
+    return SampleMasks(pos_mask, neg_mask)
+
+
+class SampleResult(NamedTuple):
+    """Fixed-count (num) gathered sample for the RoI head."""
+
+    inds: jnp.ndarray  # [num] int32 indices into candidate boxes
+    is_pos: jnp.ndarray  # [num] bool
+    is_valid: jnp.ndarray  # [num] bool (pos or neg actually sampled)
+
+
+def random_sample_gather(
+    assign: AssignResult,
+    rng: jax.Array,
+    num: int,
+    pos_fraction: float,
+) -> SampleResult:
+    """RandomSampler returning exactly ``num`` gather indices (RoI head).
+
+    Positives first (random subset up to the quota), then random negatives.
+    If fewer than ``num`` candidates exist, the tail indices point at
+    arbitrary boxes with ``is_valid=False`` (loss weight 0 downstream).
+    """
+    masks = random_sample_masks(assign, rng, num, pos_fraction)
+    sel = masks.pos_mask | masks.neg_mask
+    rng_t = jax.random.fold_in(rng, 17)
+    tiebreak = jax.random.uniform(rng_t, sel.shape)
+    priority = jnp.where(sel, tiebreak, 1e9)
+    inds = jnp.argsort(priority)[:num].astype(jnp.int32)
+    return SampleResult(inds, masks.pos_mask[inds], sel[inds])

@@ -1,0 +1,155 @@
+"""Box geometry: transforms, IoU/IoF overlaps, DeltaXYWH coder.
+
+Behavior-parity targets (semantics, not code) in the reference:
+- mmdetection/mmdet/core/bbox/coder/delta_xywh_bbox_coder.py:88-214
+  (``bbox2delta`` / ``delta2bbox``)
+- mmdetection/mmdet/core/bbox/iou_calculators/iou2d_calculator.py
+  (``bbox_overlaps`` with mode 'iou'/'iof')
+
+All functions are pure jnp, static-shaped, and batch-friendly (leading dims
+broadcast). Boxes are ``[..., 4]`` in (x1, y1, x2, y2) pixel coordinates.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def bbox_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Area of [..., 4] boxes (x2-x1)*(y2-y1), clamped at 0."""
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    return w * h
+
+
+def bbox_overlaps(
+    boxes1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    mode: str = "iou",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Pairwise overlaps between [..., N, 4] and [..., M, 4] -> [..., N, M].
+
+    mode='iou': intersection over union. mode='iof': intersection over the
+    area of boxes1 (foreground), matching the reference's ignore-region logic.
+    """
+    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.minimum(boxes1[..., :, None, 2:4], boxes2[..., None, :, 2:4])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area1 = bbox_area(boxes1)[..., :, None]
+    if mode == "iof":
+        union = area1
+    elif mode == "iou":
+        area2 = bbox_area(boxes2)[..., None, :]
+        union = area1 + area2 - inter
+    else:
+        raise ValueError(f"unknown overlap mode {mode!r}")
+    return inter / jnp.maximum(union, eps)
+
+
+def bbox2delta(
+    proposals: jnp.ndarray,
+    gt: jnp.ndarray,
+    means: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+    stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Encode gt boxes as (dx, dy, dw, dh) deltas w.r.t. proposals."""
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0]
+    ph = proposals[..., 3] - proposals[..., 1]
+
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0]
+    gh = gt[..., 3] - gt[..., 1]
+
+    # Guard against zero-size (padding) proposals; padded rows carry weight 0
+    # downstream so the value is irrelevant, it just must be finite.
+    pw = jnp.maximum(pw, 1e-6)
+    ph = jnp.maximum(ph, 1e-6)
+    dx = (gx - px) / pw
+    dy = (gy - py) / ph
+    dw = jnp.log(jnp.maximum(gw, 1e-6) / pw)
+    dh = jnp.log(jnp.maximum(gh, 1e-6) / ph)
+    deltas = jnp.stack([dx, dy, dw, dh], axis=-1)
+
+    means = jnp.asarray(means, dtype=deltas.dtype)
+    stds = jnp.asarray(stds, dtype=deltas.dtype)
+    return (deltas - means) / stds
+
+
+def delta2bbox(
+    rois: jnp.ndarray,
+    deltas: jnp.ndarray,
+    means: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+    stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+    max_shape: Optional[Tuple[int, int]] = None,
+    wh_ratio_clip: float = 16.0 / 1000.0,
+) -> jnp.ndarray:
+    """Decode deltas back to boxes.
+
+    rois: [..., N, 4]; deltas: [..., N, 4*K] (K classes or 1). Returns
+    [..., N, 4*K]. ``max_shape`` is (H, W) for border clipping.
+    """
+    k = deltas.shape[-1] // 4
+    means = jnp.tile(jnp.asarray(means, deltas.dtype), (k,))
+    stds = jnp.tile(jnp.asarray(stds, deltas.dtype), (k,))
+    denorm = deltas * stds + means
+    dx = denorm[..., 0::4]
+    dy = denorm[..., 1::4]
+    dw = denorm[..., 2::4]
+    dh = denorm[..., 3::4]
+    max_ratio = abs(math.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+
+    px = ((rois[..., 0] + rois[..., 2]) * 0.5)[..., None]
+    py = ((rois[..., 1] + rois[..., 3]) * 0.5)[..., None]
+    pw = (rois[..., 2] - rois[..., 0])[..., None]
+    ph = (rois[..., 3] - rois[..., 1])[..., None]
+
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+
+    x1 = gx - gw * 0.5
+    y1 = gy - gh * 0.5
+    x2 = gx + gw * 0.5
+    y2 = gy + gh * 0.5
+    if max_shape is not None:
+        h, w = max_shape[0], max_shape[1]
+        x1 = jnp.clip(x1, 0, w)
+        y1 = jnp.clip(y1, 0, h)
+        x2 = jnp.clip(x2, 0, w)
+        y2 = jnp.clip(y2, 0, h)
+    out = jnp.stack([x1, y1, x2, y2], axis=-1)  # [..., N, K, 4]
+    return out.reshape(*deltas.shape[:-1], k * 4)
+
+
+def clip_boxes(boxes: jnp.ndarray, img_shape: Tuple[int, int]) -> jnp.ndarray:
+    """Clip [..., 4] boxes to (H, W)."""
+    h, w = img_shape
+    x1 = jnp.clip(boxes[..., 0], 0, w)
+    y1 = jnp.clip(boxes[..., 1], 0, h)
+    x2 = jnp.clip(boxes[..., 2], 0, w)
+    y2 = jnp.clip(boxes[..., 3], 0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def flip_boxes(boxes: jnp.ndarray, img_width) -> jnp.ndarray:
+    """Horizontal flip of [..., 4] boxes in an image of width ``img_width``."""
+    x1 = img_width - boxes[..., 2]
+    x2 = img_width - boxes[..., 0]
+    return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+
+
+def scale_boxes(boxes: jnp.ndarray, scale_factor) -> jnp.ndarray:
+    """Scale boxes by per-coordinate factors [sx, sy, sx, sy] or a scalar."""
+    scale = jnp.asarray(scale_factor, dtype=boxes.dtype)
+    return boxes * scale

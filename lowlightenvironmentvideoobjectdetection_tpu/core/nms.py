@@ -1,0 +1,140 @@
+"""Fixed-shape, fully on-device NMS.
+
+Replaces the reference's native mmcv kernels (``nms``/``batched_nms`` used by
+mmdet/core/post_processing/bbox_nms.py:7 ``multiclass_nms`` and RPN
+``get_bboxes``) with an XLA formulation: a ``fori_loop`` that performs
+``max_out`` pick-and-suppress rounds. Each round is O(N) vector work on the
+VPU, so total cost is O(max_out * N) — no host round-trip, no dynamic shapes,
+batchable under vmap. Suppressed/empty slots are reported via a validity mask
+instead of a shorter tensor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray  # [max_out, 4]
+    scores: jnp.ndarray  # [max_out]
+    inds: jnp.ndarray  # [max_out] int32 indices into the input
+    valid: jnp.ndarray  # [max_out] bool
+
+
+def _pairwise_iou_one(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:4], boxes[:, 2:4])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = jnp.maximum(box[2] - box[0], 0.0) * jnp.maximum(box[3] - box[1], 0.0)
+    area2 = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    return inter / jnp.maximum(area1 + area2 - inter, 1e-6)
+
+
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> NMSResult:
+    """Greedy NMS with exactly ``max_out`` output slots.
+
+    boxes: [N, 4]; scores: [N] (use ``valid`` or score=-inf to mask padding).
+    Equivalent to sorting by score and greedily suppressing IoU>thr, i.e. the
+    semantics of mmcv ``nms``.
+    """
+    n = boxes.shape[0]
+    live = scores.astype(jnp.float32)
+    if valid is not None:
+        live = jnp.where(valid, live, NEG_INF)
+
+    out_inds = jnp.zeros((max_out,), jnp.int32)
+    out_valid = jnp.zeros((max_out,), bool)
+
+    def body(i, carry):
+        live, out_inds, out_valid = carry
+        best = jnp.argmax(live).astype(jnp.int32)
+        best_score = live[best]
+        ok = best_score > NEG_INF / 2
+        out_inds = out_inds.at[i].set(best)
+        out_valid = out_valid.at[i].set(ok)
+        iou = _pairwise_iou_one(boxes[best], boxes)
+        suppress = (iou > iou_threshold) | (
+            jnp.arange(n) == best
+        )  # self-suppress even for degenerate boxes
+        live = jnp.where(ok & suppress, NEG_INF, live)
+        return live, out_inds, out_valid
+
+    live, out_inds, out_valid = jax.lax.fori_loop(
+        0, max_out, body, (live, out_inds, out_valid)
+    )
+    return NMSResult(
+        boxes[out_inds], scores[out_inds] * out_valid, out_inds, out_valid
+    )
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> NMSResult:
+    """Class-aware NMS via the coordinate-offset trick (mmcv ``batched_nms``):
+    boxes of different ``idxs`` never overlap, so one ``nms_fixed`` call does
+    per-class NMS jointly."""
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    res = nms_fixed(shifted, scores, iou_threshold, max_out, valid=valid)
+    return NMSResult(boxes[res.inds], res.scores, res.inds, res.valid)
+
+
+class DetResult(NamedTuple):
+    boxes: jnp.ndarray  # [max_num, 4]
+    scores: jnp.ndarray  # [max_num]
+    labels: jnp.ndarray  # [max_num] int32
+    valid: jnp.ndarray  # [max_num] bool
+
+
+def multiclass_nms(
+    multi_bboxes: jnp.ndarray,
+    multi_scores: jnp.ndarray,
+    score_thr: float,
+    iou_threshold: float,
+    max_num: int,
+    box_valid: Optional[jnp.ndarray] = None,
+) -> DetResult:
+    """Reference ``multiclass_nms`` (mmdet bbox_nms.py:7) with fixed shapes.
+
+    multi_bboxes: [N, 4] (shared) or [N, C*4] (per class).
+    multi_scores: [N, C+1] — last column is background and is dropped.
+    """
+    n, num_cols = multi_scores.shape
+    num_classes = num_cols - 1
+    scores = multi_scores[:, :num_classes]  # [N, C]
+    if multi_bboxes.shape[-1] > 4:
+        boxes = multi_bboxes.reshape(n, num_classes, 4)
+    else:
+        boxes = jnp.broadcast_to(multi_bboxes[:, None, :], (n, num_classes, 4))
+
+    flat_boxes = boxes.reshape(-1, 4)
+    flat_scores = scores.reshape(-1)
+    labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+    cand_valid = flat_scores > score_thr
+    if box_valid is not None:
+        cand_valid &= jnp.repeat(box_valid, num_classes)
+
+    res = batched_nms(
+        flat_boxes, flat_scores, labels, iou_threshold, max_num, valid=cand_valid
+    )
+    return DetResult(res.boxes, res.scores, labels[res.inds], res.valid)
