@@ -1,0 +1,212 @@
+"""ResNet backbone (flax.linen, NHWC, TPU-first).
+
+Capability parity with the reference's mmdet ResNet
+(mmdetection/mmdet/models/backbones/resnet.py:303, 'pytorch' style: stride on
+the 3x3 conv) as configured by the VID models
+(mmtracking/configs/_base_/models/faster_rcnn_r50_dc5.py:5-15):
+``depth=50, strides=(1,2,2,1), dilations=(1,1,1,2)`` (DC5, output stride 16),
+``out_indices`` selecting stage outputs (duplicates allowed — the dual-branch
+low-light scheme uses e.g. ``(0,1,2,3,3)``), ``frozen_stages`` and
+``norm_eval=True``.
+
+TPU-first design decisions:
+- NHWC layout; convolutions map straight onto the MXU.
+- BatchNorm is *folded* to a per-channel affine (FrozenBN): the reference
+  always runs BN in eval mode during detection training (norm_eval=True), so
+  running statistics are constants. gamma/beta stay trainable; mean/var live
+  as constants in the params tree for checkpoint import.
+- ``frozen_stages`` is realized functionally with ``stop_gradient`` on the
+  frozen prefix's output (identical gradients to requires_grad=False).
+- Compute dtype is configurable (bfloat16 by default for the MXU); params are
+  float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN with frozen running statistics (the norm_eval=True regime).
+
+    y = (x - mean) / sqrt(var + eps) * gamma + beta. mean/var are
+    non-trainable variables (collection 'batch_stats'); gamma/beta are params.
+    """
+
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        ).value
+        scale = (gamma / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        bias = (beta - mean * gamma / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        return x * scale + bias
+
+
+class Bottleneck(nn.Module):
+    planes: int  # bottleneck width; output channels = planes * 4
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(
+            self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(
+            self.planes,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Multi-stage ResNet.
+
+    out_indices selects (possibly duplicated) stage outputs, matching the
+    reference's ``out_indices=(0,1,2,3,3)`` trick that feeds both the
+    feature-consistency loss and the neck.
+    """
+
+    depth: int = 50
+    in_channels: int = 3
+    base_channels: int = 64
+    num_stages: int = 4
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (3,)
+    frozen_stages: int = -1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_type == "bottleneck" else BasicBlock
+        expansion = 4 if block_type == "bottleneck" else 1
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.base_channels, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if self.frozen_stages >= 0:
+            x = lax.stop_gradient(x)
+
+        outs = {}
+        for i in range(self.num_stages):
+            planes = self.base_channels * (2 ** i)
+            stride = self.strides[i]
+            dilation = self.dilations[i]
+            for j in range(stage_blocks[i]):
+                first = j == 0
+                in_c = x.shape[-1]
+                needs_ds = first and (stride != 1 or in_c != planes * expansion)
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if first else 1,
+                    dilation=dilation,
+                    downsample=needs_ds,
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_{j}",
+                )(x)
+            if self.frozen_stages >= i + 1:
+                x = lax.stop_gradient(x)
+            outs[i] = x
+        return tuple(outs[i] for i in self.out_indices)
+
+
+def resnet_dc5(depth: int = 50, out_indices=(3,), dtype=jnp.bfloat16, **kw) -> ResNet:
+    """The canonical VID backbone: R-{depth} with DC5 (stride-16 stage 4,
+    dilation 2), frozen stage 1 — faster_rcnn_r50_dc5.py:5-15."""
+    return ResNet(
+        depth=depth,
+        strides=(1, 2, 2, 1),
+        dilations=(1, 1, 1, 2),
+        out_indices=out_indices,
+        frozen_stages=1,
+        dtype=dtype,
+        **kw,
+    )

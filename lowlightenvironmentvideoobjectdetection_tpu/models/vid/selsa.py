@@ -1,0 +1,363 @@
+"""SELSA video object detector — the framework's flagship model.
+
+Capability parity with the reference:
+- model assembly: mmtracking/configs/vid/selsa/selsa_faster_rcnn_r50_dc5_1x_
+  imagenetvid.py (Faster R-CNN R50-DC5 + ChannelMapper + RPN + SelsaRoIHead).
+- training: mmtrack/models/vid/selsa.py forward_train + SelsaRoIHead
+  (selsa_roi_head.py:10-78): RPN loss on the key frame, proposals on key
+  (train cfg, 600) and refs (test cfg, 300), sampled RoI head with cross-frame
+  attention against all reference rois.
+- streaming test: selsa.py:203-260 — the mutable ``self.memo`` becomes an
+  explicit ``VideoState`` pytree threaded through a jitted step function, so a
+  whole clip runs on-device with zero host round-trips.
+
+TPU-first deviations (same math, better mapping):
+- The reference re-runs the reference-frame FC path every frame at test time;
+  here the memo caches the per-FC reference activations (see
+  Shared2FCBBoxHead.ref_transform), computed once per reference frame.
+- All shapes static: fixed proposal counts with validity masks; images padded
+  to a fixed bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import AnchorGenerator
+from ...ops.roi_align import roi_align
+from ..backbones.resnet import ResNet
+from ..dense_heads import rpn_head as rpn
+from ..necks.channel_mapper import ChannelMapper
+from ..roi_heads import bbox_head as bh
+
+
+@dataclasses.dataclass(frozen=True)
+class SelsaConfig:
+    """Static configuration (shapes are compile-time constants)."""
+
+    depth: int = 50
+    num_classes: int = 30
+    neck_channels: int = 512
+    # canonical DC5 RPN: scales [4,8,16,32] x ratios [.5,1,2] at stride 16
+    anchor_scales: Tuple[int, ...] = (4, 8, 16, 32)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    stride: int = 16
+    # image bucket (padded), divisible by 32: reference trains at (1000, 600)
+    pad_h: int = 608
+    pad_w: int = 1024
+    # proposals
+    train_nms_pre: int = 2000  # reference uses 6000; 2000 is perf/quality balanced
+    train_nms_post: int = 600
+    test_nms_pre: int = 2000
+    test_nms_post: int = 300
+    rpn_nms_iou: float = 0.7
+    num_roi_samples: int = 256
+    # streaming memo
+    num_ref_frames: int = 14
+    # dtypes
+    compute_dtype: Any = jnp.bfloat16
+    # training backbone stage outputs exposed for feature-consistency losses
+    out_indices: Tuple[int, ...] = (3,)
+
+    @property
+    def feat_hw(self) -> Tuple[int, int]:
+        return (self.pad_h // self.stride, self.pad_w // self.stride)
+
+    @property
+    def num_base_anchors(self) -> int:
+        return len(self.anchor_scales) * len(self.anchor_ratios)
+
+
+class SelsaDetector(nn.Module):
+    """Backbone + neck + RPN + SELSA bbox head as one parameter tree."""
+
+    cfg: SelsaConfig = SelsaConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNet(
+            depth=c.depth,
+            strides=(1, 2, 2, 1),
+            dilations=(1, 1, 1, 2),
+            out_indices=c.out_indices,
+            frozen_stages=1,
+            dtype=c.compute_dtype,
+            name="backbone",
+        )
+        self.neck = ChannelMapper(
+            out_channels=c.neck_channels, kernel_size=3, num_levels=1,
+            dtype=c.compute_dtype, name="neck",
+        )
+        self.rpn_head = rpn.RPNHead(
+            feat_channels=c.neck_channels,
+            num_base_anchors=c.num_base_anchors,
+            dtype=c.compute_dtype,
+            name="rpn_head",
+        )
+        self.bbox_head = bh.Shared2FCBBoxHead(
+            num_classes=c.num_classes,
+            with_selsa=True,
+            dtype=jnp.float32,
+            name="bbox_head",
+        )
+
+    def extract_feat(self, imgs: jnp.ndarray):
+        """imgs: [T, H, W, 3] normalized. Returns (stage_feats, neck_feat)
+        where neck_feat is [T, h, w, C] (single DC5 level)."""
+        stage_feats = self.backbone(imgs)
+        neck_feat = self.neck(stage_feats[-1:])[0]
+        return stage_feats, neck_feat
+
+    def rpn_forward(self, neck_feat: jnp.ndarray):
+        """neck_feat: [T, h, w, C] -> (cls [T, h, w, A], reg [T, h, w, 4A])."""
+        return self.rpn_head([neck_feat])[0]
+
+    def roi_feats(self, neck_feat, rois, batch_inds):
+        """RoIAlign 7x7 at stride 16 (aligned, sampling_ratio=2)."""
+        return roi_align(
+            neck_feat.astype(jnp.float32),
+            rois,
+            spatial_scale=1.0 / self.cfg.stride,
+            batch_inds=batch_inds,
+            out_size=7,
+            sampling_ratio=2,
+        )
+
+    def bbox_forward(self, x, ref_x, ref_mask):
+        return self.bbox_head(x, ref_x, ref_mask)
+
+    def ref_transform(self, ref_x):
+        return self.bbox_head.ref_transform(ref_x)
+
+    def bbox_forward_cached(self, x, ref_stages, ref_mask):
+        return self.bbox_head.forward_cached(x, ref_stages, ref_mask)
+
+    def __call__(self, imgs: jnp.ndarray):
+        """Init/inspection path: runs every submodule once."""
+        _, neck_feat = self.extract_feat(imgs)
+        rpn_out = self.rpn_forward(neck_feat)
+        dummy_rois = jnp.asarray([[0.0, 0.0, 32.0, 32.0]] * 8)
+        dummy_binds = jnp.zeros((8,), jnp.int32)
+        rf = self.roi_feats(neck_feat, dummy_rois, dummy_binds)
+        cls, reg = self.bbox_forward(rf, rf, jnp.ones((8,), bool))
+        return rpn_out, cls, reg
+
+
+# ---------------------------------------------------------------------------
+# Functional system: anchors, training loss, streaming inference.
+# ---------------------------------------------------------------------------
+
+
+def make_anchors(cfg: SelsaConfig) -> jnp.ndarray:
+    gen = AnchorGenerator(
+        strides=[cfg.stride], ratios=list(cfg.anchor_ratios),
+        scales=list(cfg.anchor_scales),
+    )
+    return jnp.asarray(gen.grid_anchors([cfg.feat_hw])[0])
+
+
+class TrainBatch(NamedTuple):
+    """One video training sample (key frame + R reference frames)."""
+
+    imgs: jnp.ndarray  # [1+R, H, W, 3] normalized, padded; index 0 = key
+    img_shape: jnp.ndarray  # [2] (h, w) of the un-padded content
+    gt_boxes: jnp.ndarray  # [G, 4] key-frame gts (padded)
+    gt_labels: jnp.ndarray  # [G]
+    gt_valid: jnp.ndarray  # [G] bool
+
+
+def selsa_loss(
+    model: SelsaDetector,
+    params,
+    batch: TrainBatch,
+    rng: jax.Array,
+    anchors: jnp.ndarray,
+):
+    """Single-sample SELSA training loss (reference selsa.py forward_train)."""
+    cfg = model.cfg
+    rng_rpn, rng_roi = jax.random.split(rng)
+
+    _, neck_feat = model.apply(params, batch.imgs, method=SelsaDetector.extract_feat)
+    cls_all, reg_all = model.apply(params, neck_feat, method=SelsaDetector.rpn_forward)
+
+    # RPN loss on the key frame
+    rpn_losses = rpn.rpn_loss(
+        [(cls_all[0], reg_all[0])], [anchors],
+        batch.gt_boxes, batch.gt_valid, rng_rpn, batch.img_shape,
+    )
+
+    # proposals: key with train cfg, refs with test cfg
+    key_props = rpn.rpn_proposals(
+        [(cls_all[0], reg_all[0])], [anchors], batch.img_shape,
+        nms_pre=cfg.train_nms_pre, nms_post=cfg.train_nms_post,
+        iou_threshold=cfg.rpn_nms_iou,
+    )
+    num_refs = batch.imgs.shape[0] - 1
+
+    def ref_prop(i):
+        return rpn.rpn_proposals(
+            [(cls_all[i + 1], reg_all[i + 1])], [anchors], batch.img_shape,
+            nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
+            iou_threshold=cfg.rpn_nms_iou,
+        )
+    ref_props = jax.lax.map(ref_prop, jnp.arange(num_refs))
+    # ref_props.boxes: [R, 300, 4]
+
+    # RoI head targets on the key frame
+    tgts = bh.bbox_targets(
+        key_props.boxes, key_props.valid,
+        batch.gt_boxes, batch.gt_labels, batch.gt_valid,
+        rng_roi, num_classes=cfg.num_classes, num_samples=cfg.num_roi_samples,
+    )
+
+    key_rois_feats = model.apply(
+        params, neck_feat[0], tgts.rois, jnp.zeros((tgts.rois.shape[0],), jnp.int32),
+        method=SelsaDetector.roi_feats,
+    )
+    ref_rois = ref_props.boxes.reshape(-1, 4)
+    ref_binds = jnp.repeat(jnp.arange(num_refs, dtype=jnp.int32), cfg.test_nms_post)
+    ref_rois_feats = model.apply(
+        params, neck_feat[1:], ref_rois, ref_binds, method=SelsaDetector.roi_feats
+    )
+    ref_mask = ref_props.valid.reshape(-1)
+
+    cls_score, bbox_pred = model.apply(
+        params, key_rois_feats, ref_rois_feats, ref_mask,
+        method=SelsaDetector.bbox_forward,
+    )
+    roi_losses = bh.bbox_loss(cls_score, bbox_pred, tgts, num_classes=cfg.num_classes)
+
+    total = (
+        rpn_losses.loss_cls + rpn_losses.loss_bbox
+        + roi_losses.loss_cls + roi_losses.loss_bbox
+    )
+    metrics = {
+        "loss": total,
+        "loss_rpn_cls": rpn_losses.loss_cls,
+        "loss_rpn_bbox": rpn_losses.loss_bbox,
+        "loss_cls": roi_losses.loss_cls,
+        "loss_bbox": roi_losses.loss_bbox,
+        "acc": roi_losses.acc,
+    }
+    return total, metrics
+
+
+class VideoState(NamedTuple):
+    """Streaming memo: cached per-FC reference activations + roi validity.
+
+    Replaces the reference's mutable ``self.memo`` (selsa.py:226-259). Slots
+    roll circularly for fix-stride mode; adaptive-stride fills all slots at
+    frame 0 and keeps them.
+    """
+
+    ref_fc: Tuple[jnp.ndarray, ...]  # per shared-FC stage: [S, P, 1024]
+    ref_valid: jnp.ndarray  # [S, P] bool
+    next_slot: jnp.ndarray  # [] int32 (fix-stride rolling pointer)
+
+
+def init_video_state(
+    model: SelsaDetector, params, ref_imgs: jnp.ndarray, img_shape, anchors
+) -> VideoState:
+    """Fill the memo from the (adaptive-stride sampled) reference frames.
+
+    ref_imgs: [S, H, W, 3]. Everything here runs once per video.
+    """
+    cfg = model.cfg
+    s = ref_imgs.shape[0]
+    _, neck_feat = model.apply(params, ref_imgs, method=SelsaDetector.extract_feat)
+    cls_all, reg_all = model.apply(params, neck_feat, method=SelsaDetector.rpn_forward)
+
+    def one(i):
+        return rpn.rpn_proposals(
+            [(cls_all[i], reg_all[i])], [anchors], img_shape,
+            nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
+            iou_threshold=cfg.rpn_nms_iou,
+        )
+    props = jax.lax.map(one, jnp.arange(s))
+    rois = props.boxes.reshape(-1, 4)
+    binds = jnp.repeat(jnp.arange(s, dtype=jnp.int32), cfg.test_nms_post)
+    rfeats = model.apply(params, neck_feat, rois, binds, method=SelsaDetector.roi_feats)
+    stages = model.apply(params, rfeats, method=SelsaDetector.ref_transform)
+    p = cfg.test_nms_post
+    stages = tuple(st.reshape(s, p, -1) for st in stages)
+    return VideoState(stages, props.valid, jnp.asarray(0, jnp.int32))
+
+
+def inference_step(
+    model: SelsaDetector,
+    params,
+    state: VideoState,
+    frame: jnp.ndarray,
+    img_shape,
+    scale_factor,
+    anchors,
+    update_memo: bool = False,
+) -> Tuple[VideoState, Any]:
+    """One streamed frame: [H, W, 3] -> (new_state, DetResult).
+
+    With ``update_memo=True`` the frame's own reference activations replace
+    the oldest memo slot (fix-stride mode); otherwise the memo is static
+    (adaptive-stride mode).
+    """
+    cfg = model.cfg
+    _, neck_feat = model.apply(params, frame[None], method=SelsaDetector.extract_feat)
+    (cls, reg) = model.apply(params, neck_feat, method=SelsaDetector.rpn_forward)
+    props = rpn.rpn_proposals(
+        [(cls[0], reg[0])], [anchors], img_shape,
+        nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
+        iou_threshold=cfg.rpn_nms_iou,
+    )
+    rfeats = model.apply(
+        params, neck_feat[0], props.boxes,
+        jnp.zeros((props.boxes.shape[0],), jnp.int32),
+        method=SelsaDetector.roi_feats,
+    )
+    ref_stages = tuple(st.reshape(-1, st.shape[-1]) for st in state.ref_fc)
+    ref_mask = state.ref_valid.reshape(-1)
+    cls_score, bbox_pred = model.apply(
+        params, rfeats, ref_stages, ref_mask,
+        method=SelsaDetector.bbox_forward_cached,
+    )
+    dets = bh.bbox_decode(
+        props.boxes, cls_score, bbox_pred, img_shape,
+        roi_valid=props.valid, scale_factor=scale_factor,
+    )
+
+    if update_memo:
+        stages = model.apply(params, rfeats, method=SelsaDetector.ref_transform)
+        slot = state.next_slot
+        new_fc = tuple(
+            buf.at[slot].set(st) for buf, st in zip(state.ref_fc, stages)
+        )
+        new_valid = state.ref_valid.at[slot].set(props.valid)
+        state = VideoState(
+            new_fc, new_valid, (slot + 1) % state.ref_valid.shape[0]
+        )
+    return state, dets
+
+
+def make_selsa(cfg: Optional[SelsaConfig] = None):
+    """Build (model, anchors). Params come from ``init_params``."""
+    cfg = cfg or SelsaConfig()
+    model = SelsaDetector(cfg=cfg)
+    anchors = make_anchors(cfg)
+    return model, anchors
+
+
+def init_params(model: SelsaDetector, rng: jax.Array, small: bool = False):
+    """Initialize the full parameter tree with one tiny forward."""
+    h, w = (64, 64) if small else (model.cfg.pad_h, model.cfg.pad_w)
+    imgs = jnp.zeros((1, h, w, 3), jnp.float32)
+    return model.init(rng, imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def jit_inference_step(model, params, state, frame, img_shape, scale_factor, anchors):
+    return inference_step(model, params, state, frame, img_shape, scale_factor, anchors)

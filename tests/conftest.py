@@ -1,13 +1,24 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
 sharding (pjit over a Mesh) is exercised without TPU hardware, mirroring the
-driver's ``dryrun_multichip`` environment."""
+driver's ``dryrun_multichip`` environment.
+
+Note: the session's sitecustomize may import jax at interpreter start with
+JAX_PLATFORMS=axon (a remote TPU tunnel). Setting the env var here is too
+late for that import, so we must ALSO update jax.config directly — otherwise
+every test serializes through remote TPU compilation.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()

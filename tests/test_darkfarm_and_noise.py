@@ -1,0 +1,197 @@
+"""Tests for the low-light stack: noise synthesis, unprocessing, and the
+SelsaDarkfarmDetect training loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowlightenvironmentvideoobjectdetection_tpu.ops import noise as N
+from lowlightenvironmentvideoobjectdetection_tpu.ops import unprocess as U
+
+
+class TestNoise:
+    def test_gaussian_stats(self):
+        rng = jax.random.PRNGKey(0)
+        clean = jnp.full((2, 64, 64, 3), 128.0)
+        noisy = N.gaussian_noise(rng, clean, am=0.8, var=2500.0)
+        res = np.asarray(noisy) - 128.0 * 0.8
+        assert abs(res.mean()) < 2.0
+        assert abs(res.std() - 50.0) < 3.0
+
+    def test_poisson_gaussian_positive_variance_scaling(self):
+        rng = jax.random.PRNGKey(1)
+        clean = jnp.full((1, 64, 64, 3), 200.0)
+        noisy = N.poisson_gaussian_noise(rng, clean, am=1.0, p_mean=100.0, g_var=100.0)
+        res = np.asarray(noisy) - 200.0
+        # var = p_mean * rate * p_mean^2/p_mean^2... Poisson(2)*100: var=2*100^2...
+        # total var = 100^2*Var(Pois(2)) + 100 = 20000 + 100
+        assert abs(res.std() - np.sqrt(20100)) < 15.0
+
+    def test_a7s3_shapes_and_row_correlation(self):
+        rng = jax.random.PRNGKey(2)
+        clean = jnp.full((1, 32, 48, 3), 100.0)
+        noisy = N.real_camera_noise_a7s3(rng, clean, am=0.8, k_ratio=30, read_ratio=250)
+        assert noisy.shape == clean.shape
+        assert np.isfinite(np.asarray(noisy)).all()
+
+    def test_add_noise_clean_pairs_normalized(self):
+        rng = jax.random.PRNGKey(3)
+        clean = jnp.asarray(
+            np.random.RandomState(0).uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+        )
+        noise, cl = N.add_noise_clean_pairs(rng, clean, "mix")
+        assert noise.shape == cl.shape == clean.shape
+        # normalized range
+        assert float(jnp.abs(cl).max()) < 5.0
+        assert np.isfinite(np.asarray(noise)).all()
+
+    def test_no_add(self):
+        rng = jax.random.PRNGKey(4)
+        clean = jnp.full((1, 8, 8, 3), 100.0)
+        noise, cl = N.add_noise_clean_pairs(rng, clean, "no_add")
+        np.testing.assert_allclose(np.asarray(noise), np.asarray(cl))
+
+    def test_calibrate_camera_pairs(self):
+        rng = jax.random.PRNGKey(5)
+        img = jnp.asarray(
+            np.random.RandomState(1).uniform(0, 255, (32, 32, 3)).astype(np.float32)
+        )
+        pair = N.calibrate_camera_pairs(rng, img, 0.5, 0.5)
+        assert pair.shape == (32, 32, 6)
+        np.testing.assert_allclose(np.asarray(pair[..., 3:]), np.asarray(img))
+        assert 0 <= float(pair[..., :3].min()) and float(pair[..., :3].max()) <= 255
+
+    def test_general_pairs_jit(self):
+        f = jax.jit(lambda r, x: N.general_clean_noise_pairs(r, x, ratio=0.5, am=0.8))
+        x = jnp.full((1, 16, 16, 3), 120.0)
+        noise, clean = f(jax.random.PRNGKey(0), x)
+        assert noise.shape == clean.shape == x.shape
+        assert np.isfinite(np.asarray(noise)).all()
+
+
+class TestUnprocess:
+    def test_ccm_rows_normalized(self):
+        g = U.random_ccm_gain(jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(g.rgb2cam.sum(-1)), 1.0, atol=1e-5)
+
+    def test_inverse_tone_map_inverts_smoothstep(self):
+        # smoothstep tone map: t = 3x^2 - 2x^3; inverse_tone_map(t) == x
+        x = jnp.linspace(0.01, 0.99, 17)
+        t = 3 * x ** 2 - 2 * x ** 3
+        rec = U.inverse_tone_map(t)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+    def test_mosaic_shape(self):
+        img = jnp.zeros((4, 6, 3)).at[..., 1].set(0.5)
+        raw = U.mosaic_rggb(img)
+        assert raw.shape == (4, 6, 4)
+        np.testing.assert_allclose(np.asarray(raw[..., 1]), 0.5)
+        np.testing.assert_allclose(np.asarray(raw[..., 2]), 0.5)
+
+    def test_seq_full_pipeline(self):
+        clip = jnp.asarray(
+            np.random.RandomState(0).uniform(0, 1, (3, 16, 16, 3)).astype(np.float32)
+        )
+        raw, g = U.seq_srgb_to_raw(
+            jax.random.PRNGKey(1), clip,
+            tone_mapping=True, gamma_compression=True,
+            color_correction=True, white_balance=True,
+        )
+        assert raw.shape == (3, 16, 16, 4)
+        assert np.isfinite(np.asarray(raw)).all()
+
+
+class TestDarkfarm:
+    def test_loss_and_grads(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaConfig,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa_darkfarm import (
+            DarkfarmBatch,
+            DarkfarmConfig,
+            SelsaDarkfarmDetector,
+            darkfarm_loss,
+            init_darkfarm_params,
+            make_anchors,
+        )
+
+        cfg = DarkfarmConfig(
+            selsa=SelsaConfig(
+                pad_h=64, pad_w=64, train_nms_pre=64, train_nms_post=32,
+                test_nms_pre=64, test_nms_post=16, num_roi_samples=16,
+                num_classes=8, out_indices=(2, 3, 3),
+                compute_dtype=jnp.float32,
+            ),
+            loss_type="l1",
+        )
+        model = SelsaDarkfarmDetector(cfg=cfg)
+        params = init_darkfarm_params(model, jax.random.PRNGKey(0))
+        anchors = make_anchors(cfg.selsa)
+
+        rng = np.random.RandomState(0)
+        batch = DarkfarmBatch(
+            pair_imgs=jnp.asarray(rng.uniform(-2, 2, (2, 64, 64, 6)).astype(np.float32)),
+            img_shape=jnp.asarray([64.0, 64.0]),
+            gt_boxes=jnp.asarray([[8.0, 8.0, 40.0, 40.0]]),
+            gt_labels=jnp.asarray([2], jnp.int32),
+            gt_valid=jnp.asarray([True]),
+        )
+
+        def loss_fn(p):
+            return darkfarm_loss(model, p, batch, jax.random.PRNGKey(1), anchors)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        assert np.isfinite(float(total)) and float(total) > 0
+        assert "loss_l1_0" in metrics and "loss_l1_1" in metrics
+        # cleaner is a frozen teacher: zero grads
+        cg = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+            grads["params"]["cleaner"], 0.0,
+        )
+        assert cg == 0.0
+        # the feature loss DOES reach the detector backbone stage-3/4
+        bg = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+            {k: v for k, v in grads["params"]["selsa"]["backbone"].items()
+             if k.startswith("layer4")},
+            0.0,
+        )
+        assert bg > 0.0
+
+    def test_clean_branch(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaConfig,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa_darkfarm import (
+            DarkfarmBatch,
+            DarkfarmConfig,
+            SelsaDarkfarmDetector,
+            darkfarm_loss,
+            init_darkfarm_params,
+            make_anchors,
+        )
+
+        cfg = DarkfarmConfig(
+            selsa=SelsaConfig(
+                pad_h=64, pad_w=64, train_nms_pre=64, train_nms_post=32,
+                test_nms_pre=64, test_nms_post=16, num_roi_samples=16,
+                num_classes=8, out_indices=(3, 3), compute_dtype=jnp.float32,
+            ),
+            with_cleaner=False,
+        )
+        model = SelsaDarkfarmDetector(cfg=cfg)
+        params = init_darkfarm_params(model, jax.random.PRNGKey(0))
+        anchors = make_anchors(cfg.selsa)
+        batch = DarkfarmBatch(
+            pair_imgs=jnp.zeros((2, 64, 64, 6)),
+            img_shape=jnp.asarray([64.0, 64.0]),
+            gt_boxes=jnp.asarray([[8.0, 8.0, 40.0, 40.0]]),
+            gt_labels=jnp.asarray([2], jnp.int32),
+            gt_valid=jnp.asarray([True]),
+        )
+        total, metrics = darkfarm_loss(
+            model, params, batch, jax.random.PRNGKey(1), anchors, branch="clean"
+        )
+        assert np.isfinite(float(total))
+        assert not any(k.startswith("loss_l1") for k in metrics)
