@@ -10,6 +10,12 @@ import json
 import time
 
 import jax
+
+# persistent compile cache: the large inference graph compiles once per
+# machine; later bench runs (and the driver's) start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
@@ -43,8 +49,11 @@ def main():
     img_shape = jnp.asarray([600.0, 1000.0])
     scale_factor = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 
+    # params/anchors must be jit ARGUMENTS: closing over them would embed
+    # ~100MB of weights as HLO constants and overflow the remote-compile
+    # request (HTTP 413) on tunneled TPU setups.
     @jax.jit
-    def step(state, frame):
+    def step(params, anchors, state, frame):
         return inference_step(
             model, params, state, frame, img_shape, scale_factor, anchors
         )
@@ -53,13 +62,13 @@ def main():
 
     # warmup / compile
     for _ in range(3):
-        state, dets = step(state, frame)
+        state, dets = step(params, anchors, state, frame)
     jax.block_until_ready(dets.boxes)
 
     n = 30
     t0 = time.perf_counter()
     for _ in range(n):
-        state, dets = step(state, frame)
+        state, dets = step(params, anchors, state, frame)
     jax.block_until_ready(dets.boxes)
     dt = time.perf_counter() - t0
     fps = n / dt

@@ -1,0 +1,151 @@
+"""Public inference APIs.
+
+Parity targets: mmtracking/mmtrack/apis/inference.py:12-209 (``init_model``,
+``inference_vid``) and mmdetection/mmdet/apis/inference.py:16-120
+(``init_detector``, ``inference_detector``). Same call shapes: build from a
+config (here a registered model name + kwargs), then feed raw frames and get
+per-class [N, 5] arrays back — the reference's result format.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import zoo  # noqa: F401 — populates the MODELS registry
+from ..data.preprocess import prepare_frames
+from ..registry import MODELS
+
+
+def result_to_per_class(dets, num_classes: int) -> List[np.ndarray]:
+    """Fixed-shape DetResult -> the reference's list of per-class [N, 5]."""
+    valid = np.asarray(dets.valid)
+    boxes = np.asarray(dets.boxes)[valid]
+    scores = np.asarray(dets.scores)[valid]
+    labels = np.asarray(dets.labels)[valid]
+    out = []
+    for c in range(num_classes):
+        m = labels == c
+        out.append(
+            np.concatenate([boxes[m], scores[m, None]], axis=1).astype(np.float32)
+        )
+    return out
+
+
+class VIDModel:
+    """A built video detector + its compiled streaming step (init_model)."""
+
+    def __init__(self, model_type: str = "SELSA", params=None, rng_seed: int = 0,
+                 **model_kwargs):
+        from ..models.vid import selsa as S
+
+        self.model, self.anchors = MODELS.build(
+            dict(type=model_type, **model_kwargs)
+        )
+        self.cfg = self.model.cfg
+        if params is None:
+            params = S.init_params(self.model, jax.random.PRNGKey(rng_seed),
+                                   small=True)
+        self.params = params
+        self._S = S
+        self.state = None
+
+        # params/anchors are jit arguments (closures would bake the weights
+        # into the HLO as constants — fatal on remote-compile TPU tunnels)
+        def step(params, anchors, state, frame, img_shape, sf):
+            return S.inference_step(
+                self.model, params, state, frame, img_shape, sf, anchors
+            )
+
+        self._step_fn = jax.jit(step)
+        self._step = lambda state, frame, img_shape, sf: self._step_fn(
+            self.params, self.anchors, state, frame, img_shape, sf
+        )
+
+    def inference_vid(self, frame: np.ndarray, frame_id: int,
+                      ref_frames: Optional[np.ndarray] = None) -> Dict:
+        """Streaming API (apis/inference.py:136-209): feed frames in order;
+        at frame 0 supply the sampled reference frames (or the first frame is
+        replicated, as the reference does for fix-stride)."""
+        cfg = self.cfg
+        imgs, img_shape, sf = prepare_frames(
+            frame[None], cfg.pad_h, cfg.pad_w
+        )
+        if frame_id == 0:
+            if ref_frames is None:
+                refs = np.repeat(frame[None], cfg.num_ref_frames, axis=0)
+            else:
+                refs = ref_frames
+            ref_imgs, _, _ = prepare_frames(refs, cfg.pad_h, cfg.pad_w)
+            self.state = self._S.init_video_state(
+                self.model, self.params, ref_imgs, img_shape, self.anchors
+            )
+        self.state, dets = self._step(
+            self.state, imgs[0], img_shape, jnp.asarray(sf)
+        )
+        return dict(bbox_results=result_to_per_class(dets, cfg.num_classes))
+
+
+def init_model(model_type: str = "SELSA", checkpoint=None, **kwargs) -> VIDModel:
+    m = VIDModel(model_type=model_type, **kwargs)
+    if checkpoint is not None:
+        from ..utils.checkpoint import load_checkpoint
+
+        m.params = load_checkpoint(checkpoint)
+    return m
+
+
+def inference_vid(model: VIDModel, frame: np.ndarray, frame_id: int,
+                  ref_frames: Optional[np.ndarray] = None) -> Dict:
+    return model.inference_vid(frame, frame_id, ref_frames)
+
+
+class DetectorModel:
+    """Single-image detector wrapper (init_detector/inference_detector)."""
+
+    def __init__(self, model_type: str = "FasterRCNN", params=None,
+                 rng_seed: int = 0, **model_kwargs):
+        from ..models.detectors.faster_rcnn import faster_rcnn_detect
+
+        self.model, self.anchors = MODELS.build(dict(type=model_type, **model_kwargs))
+        self.cfg = self.model.cfg
+        if params is None:
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(rng_seed), jnp.zeros((1, 64, 64, 3))
+            )
+        self.params = params
+        self._detect_fn = jax.jit(
+            lambda params, anchors, img, shape, sf: faster_rcnn_detect(
+                self.model, params, img, shape, anchors, scale_factor=sf
+            )
+        )
+        self._detect = lambda img, shape, sf: self._detect_fn(
+            self.params, self.anchors, img, shape, sf
+        )
+
+    def inference_detector(self, img: np.ndarray) -> List[np.ndarray]:
+        imgs, img_shape, sf = prepare_frames(
+            img[None], self.cfg.pad_h, self.cfg.pad_w
+        )
+        dets = self._detect(imgs[0], img_shape, jnp.asarray(sf))
+        return result_to_per_class(dets, self.cfg.num_classes)
+
+
+def init_detector(model_type: str = "FasterRCNN", **kwargs) -> DetectorModel:
+    return DetectorModel(model_type=model_type, **kwargs)
+
+
+def inference_detector(model: DetectorModel, img: np.ndarray):
+    return model.inference_detector(img)
+
+
+def inference_mot(model, img: np.ndarray, frame_id: int) -> Dict:
+    """MOT streaming API (apis/inference.py:52-95): model is a built DeepSORT
+    or Tracktor orchestrator."""
+    imgs, img_shape, sf = prepare_frames(
+        img[None], model.detector.cfg.pad_h, model.detector.cfg.pad_w
+    )
+    return model.track_frame(frame_id, imgs[0], np.asarray(img_shape))

@@ -68,13 +68,18 @@ def prepare_frames(
     frames: np.ndarray,
     pad_h: int,
     pad_w: int,
-    scale: Tuple[int, int] = (1000, 600),
+    scale: Optional[Tuple[int, int]] = None,
     do_brighten: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
     """Full host->device prep for a [T, H, W, 3] uint8/float clip.
 
+    ``scale`` defaults to the pad bucket itself so resized content always
+    fits; pass the reference's (1000, 600) explicitly for parity runs with
+    a matching bucket.
     Returns (imgs [T, ph, pw, 3] normalized, img_shape [2], scale_factor [4]).
     """
+    if scale is None:
+        scale = (pad_w, pad_h)
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[None]

@@ -1,0 +1,197 @@
+"""DeepSORT and Tracktor MOT models.
+
+Parity targets:
+- DeepSORT: mmtracking/mmtrack/models/mot/deep_sort.py:10-127 — detector
+  (or public bboxes) -> ReID crops -> SortTracker association -> track
+  results. Training raises NotImplementedError in the reference (L51); here
+  the detector/reid are trained via their own losses.
+- Tracktor: mmtrack/models/mot/tracktor.py:11-148 — adds RoI-head
+  re-regression of the previous frame's boxes ("regress_tracks",
+  tracktor_tracker.py:57-78) before association.
+
+Architecture: detector + reid forwards are jitted fixed-shape device steps;
+the tracker loop is host-side numpy (models/mot/trackers.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import boxes as box_ops
+from ..detectors.faster_rcnn import FasterRCNN, faster_rcnn_detect
+from ..reid.base_reid import BaseReID
+from ..roi_heads import bbox_head as bh
+from .trackers import SortTracker, TracktorTracker
+
+REID_CROP_HW = (256, 128)
+
+
+def crop_and_resize(img: jnp.ndarray, boxes: jnp.ndarray, out_hw=REID_CROP_HW):
+    """Fixed-count differentiable crops for the ReID net.
+
+    img: [H, W, 3]; boxes: [N, 4]. Bilinear resize of each box region via
+    jax.image.scale_and_translate per box (static shapes).
+    """
+    h, w, _ = img.shape
+    oh, ow = out_hw
+
+    def one(b):
+        x1, y1, x2, y2 = b[0], b[1], b[2], b[3]
+        bw = jnp.maximum(x2 - x1, 1.0)
+        bh_ = jnp.maximum(y2 - y1, 1.0)
+        scale = jnp.asarray([oh / bh_, ow / bw])
+        translation = jnp.asarray([-y1 * oh / bh_, -x1 * ow / bw])
+        return jax.image.scale_and_translate(
+            img, (oh, ow, 3), (0, 1), scale, translation, "linear"
+        )
+
+    return jax.vmap(one)(boxes)
+
+
+class DeepSORT:
+    """Host orchestrator: compiled det/reid steps + SortTracker."""
+
+    def __init__(self, detector: FasterRCNN, det_params, anchors,
+                 reid: Optional[BaseReID] = None, reid_params=None,
+                 tracker: Optional[SortTracker] = None):
+        self.detector = detector
+        self.det_params = det_params
+        self.anchors = anchors
+        self.reid = reid
+        self.reid_params = reid_params
+        self.tracker = tracker or SortTracker()
+
+        # weights as jit args, not closures (remote-compile size limits)
+        _det = jax.jit(
+            lambda p, a, img, shape: faster_rcnn_detect(detector, p, img, shape, a)
+        )
+        self._det_step = lambda img, shape: _det(self.det_params, anchors, img, shape)
+        if reid is not None:
+            _reid = jax.jit(
+                lambda p, img, boxes: reid.apply(p, crop_and_resize(img, boxes))
+            )
+            self._reid_step = lambda img, boxes: _reid(self.reid_params, img, boxes)
+
+    def reset(self):
+        self.tracker.reset()
+
+    def track_frame(self, frame_id: int, img: jnp.ndarray, img_shape,
+                    public_bboxes: Optional[np.ndarray] = None):
+        """One frame -> dict(det_bboxes [N,5], track_bboxes [M,6])."""
+        if frame_id == 0:
+            self.tracker.reset()
+        if public_bboxes is None:
+            dets = self._det_step(img, jnp.asarray(img_shape, jnp.float32))
+            valid = np.asarray(dets.valid)
+            boxes = np.asarray(dets.boxes)[valid]
+            scores = np.asarray(dets.scores)[valid]
+            labels = np.asarray(dets.labels)[valid]
+        else:
+            boxes = public_bboxes[:, :4]
+            scores = public_bboxes[:, 4]
+            labels = np.zeros(len(boxes), np.int64)
+
+        embeds = None
+        if self.reid is not None and len(boxes):
+            pad = np.zeros((max(0, 32 - len(boxes)), 4), np.float32)
+            padded = jnp.asarray(np.concatenate([boxes, pad])[:32])
+            embeds = np.asarray(self._reid_step(img, padded))[: len(boxes)]
+
+        ids, keep = self.tracker.track(frame_id, boxes, scores, labels, embeds)
+        m = ids >= 0
+        track_bboxes = np.concatenate(
+            [ids[m, None].astype(np.float32), boxes[m], scores[m, None]], axis=1
+        )
+        det_bboxes = np.concatenate([boxes, scores[:, None]], axis=1)
+        return dict(det_bboxes=det_bboxes, det_labels=labels,
+                    track_bboxes=track_bboxes, track_labels=labels[m])
+
+
+class Tracktor:
+    """Tracktor orchestrator: adds compiled track-box re-regression."""
+
+    def __init__(self, detector: FasterRCNN, det_params, anchors,
+                 tracker: Optional[TracktorTracker] = None,
+                 max_tracks: int = 64):
+        self.detector = detector
+        self.det_params = det_params
+        self.anchors = anchors
+        self.tracker = tracker or TracktorTracker()
+        self.max_tracks = max_tracks
+
+        _det = jax.jit(
+            lambda p, a, img, shape: faster_rcnn_detect(detector, p, img, shape, a)
+        )
+        self._det_step = lambda img, shape: _det(self.det_params, anchors, img, shape)
+
+        def regress(det_params, img, shape, boxes):
+            _, neck = detector.apply(
+                det_params, img[None], method=FasterRCNN.extract_feat
+            )
+            rf = detector.apply(
+                det_params, neck[0], boxes,
+                jnp.zeros((boxes.shape[0],), jnp.int32),
+                method=FasterRCNN.roi_feats,
+            )
+            cls_score, bbox_pred = detector.apply(
+                det_params, rf, method=FasterRCNN.bbox_forward
+            )
+            scores = jax.nn.softmax(cls_score, axis=-1)
+            nc = detector.cfg.num_classes
+            best = jnp.argmax(scores[:, :nc], axis=-1)
+            fg_score = jnp.take_along_axis(scores[:, :nc], best[:, None], 1)[:, 0]
+            pred = bbox_pred.reshape(-1, nc, 4)
+            pred = jnp.take_along_axis(pred, best[:, None, None], 1)[:, 0]
+            new_boxes = box_ops.delta2bbox(
+                boxes, pred, stds=bh.BBOX_STDS, max_shape=None
+            )
+            return new_boxes, fg_score
+
+        _regress = jax.jit(regress)
+        self._regress_step = lambda img, shape, boxes: _regress(
+            self.det_params, img, shape, boxes
+        )
+
+    def reset(self):
+        self.tracker.reset()
+
+    def track_frame(self, frame_id: int, img: jnp.ndarray, img_shape,
+                    public_bboxes: Optional[np.ndarray] = None):
+        if frame_id == 0:
+            self.tracker.reset()
+
+        regressed_boxes = regressed_scores = None
+        active = self.tracker.ids
+        if active:
+            prev = np.stack([self.tracker.tracks[t].bbox for t in active])
+            pad = np.zeros((self.max_tracks - len(prev), 4), np.float32)
+            padded = jnp.asarray(np.concatenate([prev, pad])[: self.max_tracks])
+            nb, ns = self._regress_step(img, jnp.asarray(img_shape), padded)
+            regressed_boxes = np.asarray(nb)[: len(prev)]
+            regressed_scores = np.asarray(ns)[: len(prev)]
+
+        if public_bboxes is None:
+            dets = self._det_step(img, jnp.asarray(img_shape, jnp.float32))
+            valid = np.asarray(dets.valid)
+            boxes = np.asarray(dets.boxes)[valid]
+            scores = np.asarray(dets.scores)[valid]
+            labels = np.asarray(dets.labels)[valid]
+        else:
+            boxes = public_bboxes[:, :4]
+            scores = public_bboxes[:, 4]
+            labels = np.zeros(len(boxes), np.int64)
+
+        ids, tb, ts, tl = self.tracker.track(
+            frame_id, boxes, scores, labels, regressed_boxes, regressed_scores
+        )
+        track_bboxes = np.concatenate(
+            [ids[:, None].astype(np.float32), tb, ts[:, None]], axis=1
+        ) if len(ids) else np.zeros((0, 6))
+        return dict(
+            det_bboxes=np.concatenate([boxes, scores[:, None]], axis=1),
+            det_labels=labels, track_bboxes=track_bboxes, track_labels=tl,
+        )

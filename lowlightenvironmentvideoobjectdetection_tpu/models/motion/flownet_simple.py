@@ -103,14 +103,17 @@ class EmbedAggregator(nn.Module):
         """x: [1, H, W, C] key; ref_x: [N, H, W, C] (warped) refs incl. key.
         Returns [1, H, W, C] weighted sum."""
         p = self.kernel_size // 2
+        convs = [
+            nn.Conv(self.channels, (self.kernel_size,) * 2,
+                    padding=[(p, p)] * 2, dtype=self.dtype,
+                    name=f"embed_conv{i}")
+            for i in range(self.num_convs)
+        ]
 
         def embed(v):
-            for i in range(self.num_convs):
-                last = i == self.num_convs - 1
-                v = nn.Conv(self.channels, (self.kernel_size,) * 2,
-                            padding=[(p, p)] * 2, dtype=self.dtype,
-                            name=f"embed_conv{i}")(v)
-                if not last:
+            for i, conv in enumerate(convs):
+                v = conv(v)
+                if i != len(convs) - 1:
                     v = nn.relu(v)
             return v
 

@@ -352,10 +352,13 @@ def make_selsa(cfg: Optional[SelsaConfig] = None):
 
 
 def init_params(model: SelsaDetector, rng: jax.Array, small: bool = False):
-    """Initialize the full parameter tree with one tiny forward."""
+    """Initialize the full parameter tree with one tiny forward.
+
+    Jitted: un-jitted flax init dispatches thousands of tiny ops, which is
+    pathological over a remote-TPU tunnel (~75s vs <10s jitted)."""
     h, w = (64, 64) if small else (model.cfg.pad_h, model.cfg.pad_w)
     imgs = jnp.zeros((1, h, w, 3), jnp.float32)
-    return model.init(rng, imgs)
+    return jax.jit(model.init)(rng, imgs)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))

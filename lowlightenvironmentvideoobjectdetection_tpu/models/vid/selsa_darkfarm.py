@@ -212,4 +212,4 @@ def make_darkfarm(cfg: Optional[DarkfarmConfig] = None):
 def init_darkfarm_params(model: SelsaDarkfarmDetector, rng: jax.Array,
                          height: int = 64, width: int = 64):
     pair = jnp.zeros((1, height, width, 2 * model.cfg.in_channels), jnp.float32)
-    return model.init(rng, pair)
+    return jax.jit(model.init)(rng, pair)

@@ -1,0 +1,141 @@
+"""Model zoo: registry bindings from reference model-type names to this
+framework's factories.
+
+Covers the registered names in the reference (SURVEY.md Appendix A):
+VID: DFF, FGFA, SELSA, SelsaDarkfarmDetect, SelsaNewDarkfarmDetect,
+SelsaNoiseDetect, SelsaNoiseDarkfarmDetect, SelsaCleanDetect,
+SelsaCleanDarkfarmDetect, LLVOD (+ the aggregator variants as flags);
+DET: FasterRCNN; MOT: DeepSORT, Tracktor. Each factory returns a
+``(model, anchors)``-style system the apis layer drives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .models.vid.selsa import SelsaConfig
+from .registry import MODELS
+
+
+def _selsa_cfg(num_classes=30, pad_h=608, pad_w=1024, out_indices=(3,), **kw):
+    return SelsaConfig(
+        num_classes=num_classes, pad_h=pad_h, pad_w=pad_w,
+        out_indices=tuple(out_indices), **kw,
+    )
+
+
+@MODELS.register("FasterRCNN")
+def build_faster_rcnn(num_classes: int = 30, **kw):
+    from .models.detectors.faster_rcnn import make_faster_rcnn
+
+    return make_faster_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+@MODELS.register("SELSA")
+def build_selsa(num_classes: int = 30, **kw):
+    from .models.vid.selsa import make_selsa
+
+    return make_selsa(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+@MODELS.register("FGFA")
+def build_fgfa(num_classes: int = 30, **kw):
+    from .models.vid.fgfa import make_fgfa
+
+    return make_fgfa(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+@MODELS.register("DFF")
+def build_dff(num_classes: int = 30, key_frame_interval: int = 10, **kw):
+    from .models.vid.fgfa import make_dff
+
+    return make_dff(_selsa_cfg(num_classes=num_classes, **kw), key_frame_interval)
+
+
+def _darkfarm(num_classes, loss_type, with_cleaner, out_indices, in_channels=3, **kw):
+    from .models.vid.selsa_darkfarm import DarkfarmConfig, make_darkfarm
+
+    cfg = DarkfarmConfig(
+        selsa=_selsa_cfg(num_classes=num_classes, out_indices=out_indices, **kw),
+        loss_type=loss_type, with_cleaner=with_cleaner, in_channels=in_channels,
+    )
+    return make_darkfarm(cfg)
+
+
+@MODELS.register("SelsaDarkfarmDetect")
+def build_selsa_darkfarm(num_classes: int = 8, loss_type: str = "l1",
+                         out_indices=(0, 1, 2, 3, 3), **kw):
+    return _darkfarm(num_classes, loss_type, True, out_indices, **kw)
+
+
+@MODELS.register("SelsaNewDarkfarmDetect")
+def build_selsa_new_darkfarm(num_classes: int = 8, loss_type: str = "l1",
+                             out_indices=(0, 1, 2, 3, 3), **kw):
+    # TODO(round 2): add the Denoising2 aggregator between backbone and heads
+    return _darkfarm(num_classes, loss_type, True, out_indices, **kw)
+
+
+@MODELS.register("SelsaNoiseDetect")
+def build_selsa_noise(num_classes: int = 30, out_indices=(3, 3), **kw):
+    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+
+
+@MODELS.register("SelsaNoiseDarkfarmDetect")
+def build_selsa_noise_darkfarm(num_classes: int = 8, out_indices=(3, 3), **kw):
+    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+
+
+@MODELS.register("SelsaCleanDetect")
+def build_selsa_clean(num_classes: int = 30, out_indices=(3, 3), **kw):
+    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+
+
+@MODELS.register("SelsaCleanDarkfarmDetect")
+def build_selsa_clean_darkfarm(num_classes: int = 8, out_indices=(3, 3), **kw):
+    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+
+
+@MODELS.register("LLVOD")
+def build_llvod(num_classes: int = 8, loss_type: str = "l2",
+                out_indices=(0, 1, 2, 3, 3), **kw):
+    return _darkfarm(num_classes, loss_type, True, out_indices, **kw)
+
+
+@MODELS.register("DeepSORT")
+def build_deepsort(det_params=None, reid_params=None, num_classes: int = 1,
+                   with_reid: bool = True, **kw):
+    import jax
+
+    from .models.detectors.faster_rcnn import make_faster_rcnn
+    from .models.mot.deep_sort import DeepSORT
+    from .models.reid.base_reid import BaseReID
+
+    detector, anchors = make_faster_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+    if det_params is None:
+        det_params = jax.jit(detector.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+    reid = reid_params_built = None
+    if with_reid:
+        reid = BaseReID()
+        reid_params_built = reid_params or jax.jit(reid.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 256, 128, 3))
+        )
+    return DeepSORT(detector, det_params, anchors, reid, reid_params_built)
+
+
+@MODELS.register("Tracktor")
+def build_tracktor(det_params=None, num_classes: int = 1, **kw):
+    import jax
+
+    from .models.detectors.faster_rcnn import make_faster_rcnn
+    from .models.mot.deep_sort import Tracktor
+
+    detector, anchors = make_faster_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+    if det_params is None:
+        det_params = jax.jit(detector.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+    return Tracktor(detector, det_params, anchors)
