@@ -139,3 +139,79 @@ def build_tracktor(det_params=None, num_classes: int = 1, **kw):
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
         )
     return Tracktor(detector, det_params, anchors)
+
+
+@MODELS.register("RetinaNet")
+def build_retinanet(num_classes: int = 80, depth: int = 50, **kw):
+    """Single-stage RetinaNet (reference: mmdet/models/detectors/retinanet.py
+    + retina_head.py:9). Returns (model, anchor_generator)."""
+    from .models.dense_heads.retina_head import RetinaNet, retina_anchor_generator
+
+    return RetinaNet(num_classes=num_classes, depth=depth, **kw), \
+        retina_anchor_generator()
+
+
+@MODELS.register("YOLOV3")
+def build_yolov3(num_classes: int = 80, **kw):
+    """YOLOv3 Darknet-53 (reference: mmdet yolo.py / yolo_head.py:20)."""
+    from .models.detectors.yolov3 import YOLOV3
+
+    return YOLOV3(num_classes=num_classes, **kw)
+
+
+@MODELS.register("SiamRPN")
+def build_siamrpn(**kw):
+    """SiameseRPN++ single-object tracker (reference: mmtrack sot/siamrpn.py)."""
+    from .models.sot.siamrpn import SiamRPNConfig, make_siamrpn
+
+    return make_siamrpn(SiamRPNConfig(**kw))
+
+
+@MODELS.register("SelsaFastDVDnetDetect")
+def build_selsa_fastdvd(num_classes: int = 8, **kw):
+    """Two-stage baseline: FastDVDnet image-space denoiser, then SELSA
+    detection on the denoised frames (reference: selsa_fastdvd_darkfarm.py)."""
+    from .models.vid.selsa_fastdvd import FastDVDSelsaConfig, make_fastdvd_selsa
+
+    return make_fastdvd_selsa(
+        FastDVDSelsaConfig(selsa=_selsa_cfg(num_classes=num_classes, **kw))
+    )
+
+
+def _register_components():
+    """Bind component classes into their registries for config-driven builds
+    (reference registry names: SURVEY.md Appendix A)."""
+    from .registry import AGGREGATORS, BACKBONES, CLEANERS, MOTION, NECKS
+
+    from .models.aggregators.selsa_aggregator import SelsaAggregator
+    from .models.motion.flownet_simple import EmbedAggregator
+    from .models.aggregators.denoising_aggregator import (
+        DenoisingAggregator, Denoising2Aggregator,
+    )
+    from .models.backbones.resnet import ResNet
+    from .models.cleaners.resclean import ResCleaner
+    from .models.cleaners.video_denoisers import FastDVDnet, Unet
+    from .models.necks.channel_mapper import ChannelMapper
+    from .models.necks.fpn import FPN
+    from .models.motion.flownet_simple import FlowNetSimple
+    from .core.motion.kalman import KalmanFilter
+    from .core.motion.linear import LinearMotion
+
+    AGGREGATORS.register("SelsaAggregator")(SelsaAggregator)
+    AGGREGATORS.register("EmbedAggregator")(EmbedAggregator)
+    AGGREGATORS.register("DenoisingAggregator")(DenoisingAggregator)
+    AGGREGATORS.register("Denoising2Aggregator")(Denoising2Aggregator)
+    # keep the reference's (typo'd) registry key working too
+    AGGREGATORS.register("Denoising2Aggergator")(Denoising2Aggregator)
+    BACKBONES.register("ResNet")(ResNet)
+    CLEANERS.register("ResCleaner")(ResCleaner)
+    CLEANERS.register("FastDVDnet")(FastDVDnet)
+    CLEANERS.register("Unet")(Unet)
+    NECKS.register("ChannelMapper")(ChannelMapper)
+    NECKS.register("FPN")(FPN)
+    MOTION.register("FlowNetSimple")(FlowNetSimple)
+    MOTION.register("KalmanFilter")(KalmanFilter)
+    MOTION.register("LinearMotion")(LinearMotion)
+
+
+_register_components()
