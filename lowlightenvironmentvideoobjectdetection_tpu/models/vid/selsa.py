@@ -65,6 +65,10 @@ class SelsaConfig:
     compute_dtype: Any = jnp.bfloat16
     # training backbone stage outputs exposed for feature-consistency losses
     out_indices: Tuple[int, ...] = (3,)
+    # None = plain ResNet; else a dark-backbone variant name from
+    # backbones.dark_resnet.DARK_VARIANTS (DarkResNet, ResNet_A, ResNetC, ...)
+    backbone_variant: Any = None
+    backbone_in_channels: int = 3
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -82,15 +86,30 @@ class SelsaDetector(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNet(
-            depth=c.depth,
-            strides=(1, 2, 2, 1),
-            dilations=(1, 1, 1, 2),
-            out_indices=c.out_indices,
-            frozen_stages=1,
-            dtype=c.compute_dtype,
-            name="backbone",
-        )
+        if c.backbone_variant is not None:
+            from ..backbones.dark_resnet import make_dark_backbone
+
+            self.backbone = make_dark_backbone(
+                c.backbone_variant,
+                depth=c.depth,
+                in_channels=c.backbone_in_channels,
+                strides=(1, 2, 2, 1),
+                dilations=(1, 1, 1, 2),
+                out_indices=c.out_indices,
+                frozen_stages=1,
+                dtype=c.compute_dtype,
+                name="backbone",
+            )
+        else:
+            self.backbone = ResNet(
+                depth=c.depth,
+                strides=(1, 2, 2, 1),
+                dilations=(1, 1, 1, 2),
+                out_indices=c.out_indices,
+                frozen_stages=1,
+                dtype=c.compute_dtype,
+                name="backbone",
+            )
         self.neck = ChannelMapper(
             out_channels=c.neck_channels, kernel_size=3, num_levels=1,
             dtype=c.compute_dtype, name="neck",

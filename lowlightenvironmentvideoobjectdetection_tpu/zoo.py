@@ -197,6 +197,13 @@ def _register_components():
     from .core.motion.kalman import KalmanFilter
     from .core.motion.linear import LinearMotion
 
+    from .models.backbones.dark_resnet import DARK_VARIANTS, make_dark_backbone
+
+    for _name in DARK_VARIANTS:
+        BACKBONES.register(_name)(
+            (lambda n: lambda **kw: make_dark_backbone(n, **kw))(_name)
+        )
+
     AGGREGATORS.register("SelsaAggregator")(SelsaAggregator)
     AGGREGATORS.register("EmbedAggregator")(EmbedAggregator)
     AGGREGATORS.register("DenoisingAggregator")(DenoisingAggregator)
