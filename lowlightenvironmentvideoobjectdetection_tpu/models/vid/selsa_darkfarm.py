@@ -46,11 +46,19 @@ class DarkfarmConfig:
     loss_type: str = "l1"  # 'l1' | 'l2' | 'smooth_l1'
     with_cleaner: bool = True
     in_channels: int = 3  # 4 for RAW (8ch pairs)
+    # SelsaNewDarkfarmDetect: a Denoising2Aggregator between backbone and
+    # heads, with dual feature losses `_u` (undenoised) and `_d` (denoised)
+    # (selsa_new_darkfarm_detect.py:36,166,191-192)
+    with_aggregator: bool = False
 
     @property
     def loss_stages(self) -> Tuple[int, ...]:
         # all but the final (neck-input) entry feed the consistency loss
         return tuple(self.selsa.out_indices[:-1])
+
+    @property
+    def stage_channels(self) -> Tuple[int, ...]:
+        return tuple(256 * (2 ** i) for i in self.loss_stages)
 
 
 class SelsaDarkfarmDetector(nn.Module):
@@ -68,6 +76,43 @@ class SelsaDarkfarmDetector(nn.Module):
                 dtype=self.cfg.selsa.compute_dtype,
                 name="cleaner",
             )
+        if self.cfg.with_aggregator:
+            from ..aggregators.denoising_aggregator import Denoising2Aggregator
+
+            stages = self.cfg.loss_stages
+            chans = self.cfg.stage_channels
+            # DC5 strides: stages run at /4,/8,/16,/16 — downsample where the
+            # next stage halves resolution
+            stage_stride = {0: 4, 1: 8, 2: 16, 3: 16}
+            down = tuple(
+                stage_stride[stages[k + 1]] > stage_stride[stages[k]]
+                if k + 1 < len(stages) else False
+                for k in range(len(stages))
+            )
+            out_ch = tuple(
+                chans[k + 1] if k + 1 < len(chans)
+                else self.cfg.selsa.neck_channels
+                for k in range(len(chans))
+            )
+            self.aggregator = Denoising2Aggregator(
+                in_channels=chans,
+                mid_channels=tuple(max(c // 4, 64) for c in chans),
+                out_channels=out_ch,
+                rdb_blocks=(2,) * len(chans),
+                channel_growth=(64,) * len(chans),
+                taf_embs=(3,) * len(chans),
+                downsample=down,
+                with_rdb=(True,) * len(chans),
+                with_taf=(True,) * len(chans),
+                dtype=self.cfg.selsa.compute_dtype,
+                name="aggregator",
+            )
+
+    def denoise_feats(self, stage_feats, neck_feat):
+        """Apply the Denoising2Aggregator: returns (denoised stage feats,
+        denoised neck feat)."""
+        d_stages, d_neck = self.aggregator(list(stage_feats), [neck_feat])
+        return d_stages, d_neck[0]
 
     def extract_noise_feat(self, noise_imgs):
         return self.selsa.extract_feat(noise_imgs)
@@ -80,6 +125,8 @@ class SelsaDarkfarmDetector(nn.Module):
         c = self.cfg.in_channels
         noise, clean = pair_imgs[..., :c], pair_imgs[..., c:]
         stage_feats, neck_feat = self.selsa.extract_feat(noise)
+        if self.cfg.with_aggregator:
+            _, neck_feat = self.denoise_feats(stage_feats, neck_feat)
         rpn_out = self.selsa.rpn_forward(neck_feat)
         dummy_rois = jnp.asarray([[0.0, 0.0, 32.0, 32.0]] * 8)
         rf = self.selsa.roi_feats(neck_feat, dummy_rois, jnp.zeros((8,), jnp.int32))
@@ -127,6 +174,12 @@ def darkfarm_loss(
 
     metrics = {}
     total = 0.0
+    denoised_stages = None
+    if cfg.with_aggregator:
+        denoised_stages, neck_feat = model.apply(
+            params, stage_feats, neck_feat,
+            method=SelsaDarkfarmDetector.denoise_feats,
+        )
     if cfg.with_cleaner and branch == "noise":
         clean_imgs = batch.pair_imgs[..., c:]
         clean_feats = model.apply(
@@ -134,14 +187,21 @@ def darkfarm_loss(
         )
         feat_loss_fn = _FEAT_LOSS[cfg.loss_type]
         # all but the duplicated last entry supervise; computed over ALL
-        # frames (key + refs), plain mean, as the reference (L171-187)
+        # frames (key + refs), plain mean, as the reference (L171-187).
+        # With the aggregator, BOTH the undenoised (`_u`) and denoised (`_d`)
+        # stage features are tied to the clean teacher (ref L191-192).
         for i in range(len(cfg.loss_stages)):
-            fl = feat_loss_fn(
-                stage_feats[i].astype(jnp.float32),
-                clean_feats[i].astype(jnp.float32),
-            )
-            metrics[f"loss_{cfg.loss_type}_{i}"] = fl
+            clean_i = clean_feats[i].astype(jnp.float32)
+            fl = feat_loss_fn(stage_feats[i].astype(jnp.float32), clean_i)
+            suffix = "_u" if cfg.with_aggregator else ""
+            metrics[f"loss_{cfg.loss_type}_{i}{suffix}"] = fl
             total = total + fl
+            if denoised_stages is not None:
+                fd = feat_loss_fn(
+                    denoised_stages[i].astype(jnp.float32), clean_i
+                )
+                metrics[f"loss_{cfg.loss_type}_{i}_d"] = fd
+                total = total + fd
 
     cls_all, reg_all = model.apply(
         params, neck_feat, method=lambda m, nf: m.selsa.rpn_forward(nf)

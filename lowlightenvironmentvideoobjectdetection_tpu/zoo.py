@@ -54,12 +54,14 @@ def build_dff(num_classes: int = 30, key_frame_interval: int = 10, **kw):
     return make_dff(_selsa_cfg(num_classes=num_classes, **kw), key_frame_interval)
 
 
-def _darkfarm(num_classes, loss_type, with_cleaner, out_indices, in_channels=3, **kw):
+def _darkfarm(num_classes, loss_type, with_cleaner, out_indices, in_channels=3,
+              with_aggregator=False, **kw):
     from .models.vid.selsa_darkfarm import DarkfarmConfig, make_darkfarm
 
     cfg = DarkfarmConfig(
         selsa=_selsa_cfg(num_classes=num_classes, out_indices=out_indices, **kw),
         loss_type=loss_type, with_cleaner=with_cleaner, in_channels=in_channels,
+        with_aggregator=with_aggregator,
     )
     return make_darkfarm(cfg)
 
@@ -73,8 +75,44 @@ def build_selsa_darkfarm(num_classes: int = 8, loss_type: str = "l1",
 @MODELS.register("SelsaNewDarkfarmDetect")
 def build_selsa_new_darkfarm(num_classes: int = 8, loss_type: str = "l1",
                              out_indices=(0, 1, 2, 3, 3), **kw):
-    # TODO(round 2): add the Denoising2 aggregator between backbone and heads
-    return _darkfarm(num_classes, loss_type, True, out_indices, **kw)
+    """SelsaDarkfarmDetect + Denoising2Aggregator between backbone and heads,
+    dual `_u`/`_d` feature losses (selsa_new_darkfarm_detect.py)."""
+    return _darkfarm(num_classes, loss_type, True, out_indices,
+                     with_aggregator=True, **kw)
+
+
+@MODELS.register("SelsaNewDetect")
+def build_selsa_new_det(num_classes: int = 30, loss_type: str = "l1",
+                        out_indices=(0, 1, 2, 3, 3), **kw):
+    """Aggregator-augmented SELSA for ImageNet-VID synthetic noise
+    (selsa_new_det.py) — same system, VID class count, no disk pairs."""
+    return _darkfarm(num_classes, loss_type, True, out_indices,
+                     with_aggregator=True, **kw)
+
+
+@MODELS.register("SelsaNewVIDDetect")
+def build_selsa_new_vid(num_classes: int = 30, loss_type: str = "l1",
+                        out_indices=(0, 1, 2, 3, 3), **kw):
+    """(selsa_new_vid_detect.py) — alias family of SelsaNewDetect."""
+    return _darkfarm(num_classes, loss_type, True, out_indices,
+                     with_aggregator=True, **kw)
+
+
+@MODELS.register("DarkDetect")
+def build_dark_detect(num_classes: int = 30, out_indices=(0, 1, 2, 3, 3), **kw):
+    """Early design: detector + aggregator + cleaner with per-stage MSE
+    (dark_detect.py:114-121) — config degeneration with loss_type='l2'."""
+    return _darkfarm(num_classes, "l2", True, out_indices,
+                     with_aggregator=True, **kw)
+
+
+@MODELS.register("SelsaDarkDetect")
+def build_selsa_dark_detect(num_classes: int = 30, out_indices=(0, 1, 2, 3, 3),
+                            **kw):
+    """Earlier dark variant on the ConvLSTM DarkResNet backbone
+    (slesa_dark_detect.py [sic])."""
+    return _darkfarm(num_classes, "l2", True, out_indices,
+                     backbone_variant="DarkResNet", **kw)
 
 
 @MODELS.register("SelsaNoiseDetect")

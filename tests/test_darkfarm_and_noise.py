@@ -195,3 +195,71 @@ class TestDarkfarm:
         )
         assert np.isfinite(float(total))
         assert not any(k.startswith("loss_l1") for k in metrics)
+
+
+class TestSelsaNewDarkfarm:
+    """The aggregator-augmented variant (SelsaNewDarkfarmDetect)."""
+
+    def test_dual_losses_and_grads(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaConfig,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa_darkfarm import (
+            DarkfarmBatch,
+            DarkfarmConfig,
+            SelsaDarkfarmDetector,
+            darkfarm_loss,
+            init_darkfarm_params,
+            make_anchors,
+        )
+
+        cfg = DarkfarmConfig(
+            selsa=SelsaConfig(
+                pad_h=64, pad_w=64, train_nms_pre=64, train_nms_post=32,
+                test_nms_pre=64, test_nms_post=16, num_roi_samples=16,
+                num_classes=8, out_indices=(2, 3, 3),
+                compute_dtype=jnp.float32,
+            ),
+            loss_type="l1",
+            with_aggregator=True,
+        )
+        model = SelsaDarkfarmDetector(cfg=cfg)
+        params = init_darkfarm_params(model, jax.random.PRNGKey(0))
+        anchors = make_anchors(cfg.selsa)
+
+        rng = np.random.RandomState(0)
+        batch = DarkfarmBatch(
+            pair_imgs=jnp.asarray(
+                rng.uniform(-2, 2, (2, 64, 64, 6)).astype(np.float32)
+            ),
+            img_shape=jnp.asarray([64.0, 64.0]),
+            gt_boxes=jnp.asarray([[8.0, 8.0, 40.0, 40.0]]),
+            gt_labels=jnp.asarray([2], jnp.int32),
+            gt_valid=jnp.asarray([True]),
+        )
+
+        def loss_fn(p):
+            return darkfarm_loss(model, p, batch, jax.random.PRNGKey(1), anchors)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        assert np.isfinite(float(total))
+        # dual per-stage losses: undenoised and denoised
+        assert "loss_l1_0_u" in metrics and "loss_l1_0_d" in metrics
+        assert "loss_l1_1_u" in metrics and "loss_l1_1_d" in metrics
+        # aggregator trains
+        ag = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+            grads["params"]["aggregator"], 0.0,
+        )
+        assert ag > 0.0
+
+    def test_zoo_builds(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        for name in ("SelsaNewDarkfarmDetect", "SelsaNewDetect",
+                     "SelsaNewVIDDetect", "DarkDetect", "SelsaDarkDetect"):
+            model, anchors = MODELS.get(name)(
+                pad_h=64, pad_w=64, compute_dtype=jnp.float32
+            )
+            assert model is not None, name
