@@ -216,6 +216,11 @@ def build_selsa_fastdvd(num_classes: int = 8, **kw):
     )
 
 
+def _register_pipelines():
+    """Import the pipeline modules so their PIPELINES registrations run."""
+    from .data import pipelines  # noqa: F401
+
+
 def _register_components():
     """Bind component classes into their registries for config-driven builds
     (reference registry names: SURVEY.md Appendix A)."""
@@ -260,3 +265,4 @@ def _register_components():
 
 
 _register_components()
+_register_pipelines()
