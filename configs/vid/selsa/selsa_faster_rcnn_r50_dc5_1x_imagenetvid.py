@@ -1,0 +1,8 @@
+# SELSA R-50-DC5 1x ImageNet-VID
+# (reference: configs/vid/selsa/selsa_faster_rcnn_r50_dc5_1x_imagenetvid.py).
+_base_ = [
+    "../../_base_/models/faster_rcnn_r50_dc5.py",
+    "../../_base_/datasets/imagenet_vid_fgfa_style.py",
+    "../../_base_/default_runtime.py",
+]
+model = dict(type="SELSA", num_ref_frames=14)

@@ -1,0 +1,133 @@
+"""Tests for the configs tree and the CLI tools layer."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestConfigs:
+    def test_all_configs_load_and_types_registered(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.config import Config
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        paths = [p for p in glob.glob(os.path.join(REPO, "configs/**/*.py"),
+                                      recursive=True)
+                 if "_base_" not in p]
+        assert len(paths) >= 12
+        for p in paths:
+            cfg = Config.fromfile(p)
+            assert "model" in cfg, p
+            assert cfg.model["type"] in MODELS, (p, cfg.model["type"])
+
+    def test_base_inheritance_and_delete(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.config import Config
+
+        cfg = Config.fromfile(os.path.join(
+            REPO, "configs/vid/llvod/llvod_l4_darkfarm.py"))
+        # child overrides type + out_indices; base contributes depth etc.
+        assert cfg.model["type"] == "SelsaDarkfarmDetect"
+        assert tuple(cfg.model["out_indices"]) == (3, 3)
+        assert cfg.model["depth"] == 50  # from _base_ faster_rcnn_r50_dc5
+        assert cfg.optimizer["lr"] == 0.01  # from default_runtime
+
+    def test_delete_replaces_model(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.config import Config
+
+        cfg = Config.fromfile(os.path.join(
+            REPO, "configs/vid/llvod/llvod_fastdvd_darkfarm.py"))
+        assert cfg.model["type"] == "SelsaFastDVDnetDetect"
+        # _delete_=True dropped the base's keys
+        assert "loss_type" not in cfg.model
+
+
+class TestConverters:
+    def test_darkfarm_converter(self, tmp_path):
+        import numpy as np
+        import cv2
+
+        root = tmp_path / "frames"
+        (root / "vidA").mkdir(parents=True)
+        for i in range(3):
+            cv2.imwrite(str(root / "vidA" / f"{i:06d}.jpg"),
+                        np.zeros((10, 10, 3), np.uint8))
+        # one annotation file
+        with open(root / "vidA" / "000001.jpg.txt", "w") as f:
+            f.write("2 1.0 2.0 5.0 6.0 11\n")
+        lst = tmp_path / "train.txt"
+        lst.write_text("vidA\n")
+        out = tmp_path / "ann.json"
+        sys.path.insert(0, os.path.join(REPO, "tools", "convert_datasets"))
+        try:
+            import darkfarm2coco_vid as D
+        finally:
+            sys.path.pop(0)
+        D.convert(str(root), str(lst), str(out))
+        data = json.load(open(out))
+        assert len(data["videos"]) == 1
+        assert len(data["images"]) == 3
+        assert len(data["annotations"]) == 1
+        ann = data["annotations"][0]
+        assert ann["category_id"] == 3 and ann["instance_id"] == 11
+
+        # round-trip through the dataset class
+        from lowlightenvironmentvideoobjectdetection_tpu.data.datasets import (
+            DarkFarmVIDDataset,
+        )
+
+        ds = DarkFarmVIDDataset(ann_file=str(out), img_prefix=str(root),
+                                test_mode=True)
+        assert len(ds) == 3
+        s = ds[1]
+        assert s["ann"]["bboxes"].shape == (1, 4)
+
+    def test_mot_converter(self, tmp_path):
+        seq = tmp_path / "train" / "MOT17-02"
+        (seq / "gt").mkdir(parents=True)
+        (seq / "seqinfo.ini").write_text(
+            "[Sequence]\nseqLength=2\nimWidth=640\nimHeight=480\nframeRate=30\n"
+        )
+        (seq / "gt" / "gt.txt").write_text(
+            "1,5,10,20,30,40,1,1,1.0\n2,5,12,22,30,40,1,1,1.0\n"
+        )
+        out = tmp_path / "mot.json"
+        sys.path.insert(0, os.path.join(REPO, "tools", "convert_datasets"))
+        try:
+            import mot2coco as M
+        finally:
+            sys.path.pop(0)
+        M.convert(str(tmp_path), str(out))
+        data = json.load(open(out))
+        assert len(data["images"]) == 2
+        assert len(data["annotations"]) == 2
+        assert data["annotations"][0]["instance_id"] == 5
+
+
+
+class TestCLISmoke:
+    def test_print_config(self):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/print_config.py"),
+             os.path.join(REPO, "configs/det/retinanet_r50_fpn_1x_coco.py")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0
+        cfg = json.loads(r.stdout)
+        assert cfg["model"]["type"] == "RetinaNet"
+
+    def test_analyze_logs(self, tmp_path):
+        log = tmp_path / "log.json"
+        log.write_text('{"wall_s": 10.0, "steps": 5, "loss": 1.0}\n')
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/analyze_logs.py"),
+             "cal_train_time", str(log)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 0
+        assert "mean iter time" in r.stdout
