@@ -221,6 +221,23 @@ def _register_pipelines():
     from .data import pipelines  # noqa: F401
 
 
+def _register_datasets():
+    from .data.datasets import (
+        CocoVideoDataset, DarkFarmVIDDataset, ImagenetVIDDataset,
+    )
+    from .data.mot_sot_datasets import (
+        LaSOTDataset, MOTChallengeDataset, SOTTrainDataset,
+    )
+    from .registry import DATASETS
+
+    DATASETS.register("CocoVideoDataset")(CocoVideoDataset)
+    DATASETS.register("ImagenetVIDDataset")(ImagenetVIDDataset)
+    DATASETS.register("DarkFarmVIDDataset")(DarkFarmVIDDataset)
+    DATASETS.register("MOTChallengeDataset")(MOTChallengeDataset)
+    DATASETS.register("LaSOTDataset")(LaSOTDataset)
+    DATASETS.register("SOTTrainDataset")(SOTTrainDataset)
+
+
 def _register_components():
     """Bind component classes into their registries for config-driven builds
     (reference registry names: SURVEY.md Appendix A)."""
@@ -266,3 +283,4 @@ def _register_components():
 
 _register_components()
 _register_pipelines()
+_register_datasets()
