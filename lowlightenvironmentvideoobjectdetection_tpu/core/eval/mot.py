@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Dict, List, Sequence
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+from ...ops.lap import linear_sum_assignment  # native C++ JV solver (ops/lap.py)
 
 from .mean_ap import _iou_matrix
 

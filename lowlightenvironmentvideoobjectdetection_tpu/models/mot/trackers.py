@@ -21,7 +21,7 @@ import dataclasses
 from typing import Dict, List, Optional
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+from ...ops.lap import linear_sum_assignment  # native C++ JV solver (ops/lap.py)
 
 from ...core.motion.kalman import KalmanFilter
 

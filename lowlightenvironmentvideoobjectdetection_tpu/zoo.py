@@ -256,6 +256,7 @@ def _register_components():
     from .models.motion.flownet_simple import FlowNetSimple
     from .core.motion.kalman import KalmanFilter
     from .core.motion.linear import LinearMotion
+    from .core.motion.cmc import CameraMotionCompensation
 
     from .models.backbones.dark_resnet import DARK_VARIANTS, make_dark_backbone
 
@@ -279,6 +280,7 @@ def _register_components():
     MOTION.register("FlowNetSimple")(FlowNetSimple)
     MOTION.register("KalmanFilter")(KalmanFilter)
     MOTION.register("LinearMotion")(LinearMotion)
+    MOTION.register("CameraMotionCompensation")(CameraMotionCompensation)
 
 
 _register_components()
