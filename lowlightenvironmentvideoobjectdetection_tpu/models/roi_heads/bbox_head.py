@@ -137,6 +137,7 @@ def bbox_targets(
     neg_iou_thr: float = 0.5,
     min_pos_iou: float = 0.5,
     add_gt_as_proposals: bool = True,
+    stds=BBOX_STDS,
 ) -> BBoxTargets:
     """Assign + sample proposals for the RoI head (single image)."""
     if add_gt_as_proposals:
@@ -157,7 +158,7 @@ def bbox_targets(
 
     labels = jnp.where(pos, gt_labels[matched_gt_idx], num_classes).astype(jnp.int32)
     label_w = sample.is_valid.astype(jnp.float32)
-    tgt = box_ops.bbox2delta(rois, gt_boxes[matched_gt_idx], stds=BBOX_STDS)
+    tgt = box_ops.bbox2delta(rois, gt_boxes[matched_gt_idx], stds=stds)
     tgt = jnp.where(pos[:, None], tgt, 0.0)
     return BBoxTargets(rois, labels, label_w, tgt, pos.astype(jnp.float32), pos)
 
@@ -207,11 +208,12 @@ def bbox_decode(
     score_thr: float = 1e-4,
     iou_threshold: float = 0.5,
     max_per_img: int = 100,
+    stds=BBOX_STDS,
 ) -> nms_ops.DetResult:
     """Decode head outputs into final fixed-shape detections (test time)."""
     scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
     decoded = box_ops.delta2bbox(
-        rois, bbox_pred.astype(jnp.float32), stds=BBOX_STDS, max_shape=img_shape
+        rois, bbox_pred.astype(jnp.float32), stds=stds, max_shape=img_shape
     )
     if scale_factor is not None:
         k = decoded.shape[-1] // 4

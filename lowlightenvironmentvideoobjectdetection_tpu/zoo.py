@@ -286,3 +286,27 @@ def _register_components():
 _register_components()
 _register_pipelines()
 _register_datasets()
+
+
+@MODELS.register("FCOS")
+def build_fcos(num_classes: int = 80, depth: int = 50, **kw):
+    """Anchor-free FCOS (reference: mmdet fcos.py + fcos_head.py:15)."""
+    from .models.dense_heads.fcos_head import FCOS
+
+    return FCOS(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("SSD")
+def build_ssd(num_classes: int = 80, **kw):
+    """SSD-300 VGG16 (reference: mmdet ssd_vgg.py + ssd_head.py:16)."""
+    from .models.detectors.ssd import SSD
+
+    return SSD(num_classes=num_classes, **kw)
+
+
+@MODELS.register("CascadeRCNN")
+def build_cascade(num_classes: int = 80, **kw):
+    """Cascade R-CNN, 3 refinement stages (reference: mmdet cascade_rcnn.py)."""
+    from .models.detectors.cascade_rcnn import make_cascade_rcnn
+
+    return make_cascade_rcnn(_selsa_cfg(num_classes=num_classes, **kw))

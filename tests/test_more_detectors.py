@@ -1,0 +1,142 @@
+"""Tests for FCOS, SSD, and Cascade R-CNN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _gts():
+    return (jnp.asarray([[8.0, 8.0, 60.0, 60.0]]),
+            jnp.asarray([2], jnp.int32), jnp.asarray([True]))
+
+
+class TestFCOS:
+    def test_forward_loss_decode(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+            fcos_head as F,
+        )
+
+        model = F.FCOS(num_classes=4, dtype=jnp.float32)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (1, 128, 128, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        outs = jax.jit(model.apply)(params, imgs)
+        assert len(outs) == 5
+        assert outs[0][0].shape == (1, 16, 16, 4)   # cls
+        assert outs[0][1].shape == (1, 16, 16, 4)   # ltrb
+        assert outs[0][2].shape == (1, 16, 16, 1)   # centerness
+
+        flat = [(c[0], d[0], t[0]) for c, d, t in outs]
+        gt_b, gt_l, gt_v = _gts()
+        loss = F.fcos_loss(flat, gt_b, gt_l, gt_v, num_classes=4)
+        for v in loss:
+            assert np.isfinite(float(v)), loss
+        assert float(loss.loss_cls) > 0
+
+        det = jax.jit(lambda f: F.fcos_decode(f, (128, 128), 4, nms_pre=100,
+                                              max_per_img=10))(flat)
+        assert det.boxes.shape == (10, 4)
+
+    def test_center_point_is_positive(self):
+        """A point at the gt center within range must be assigned."""
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+            fcos_head as F,
+        )
+
+        # single level grid 16x16 stride 8 -> point (60, 60) cell exists
+        cls = jnp.zeros((16, 16, 4))
+        dist = jnp.ones((16, 16, 4))
+        ctr = jnp.zeros((16, 16, 1))
+        gt_b = jnp.asarray([[40.0, 40.0, 80.0, 80.0]])  # 40px box, level-0 range
+        loss = F.fcos_loss([(cls, dist, ctr)] + [
+            (jnp.zeros((1, 1, 4)), jnp.ones((1, 1, 4)), jnp.zeros((1, 1, 1)))
+        ] * 4, gt_b, jnp.asarray([1], jnp.int32), jnp.asarray([True]), 4)
+        assert float(loss.loss_bbox) > 0  # positives exist
+
+
+class TestSSD:
+    def test_forward_levels_and_loss(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors import (
+            ssd as S,
+        )
+
+        model = S.SSD(num_classes=3, dtype=jnp.float32)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).uniform(0, 1, (1, 300, 300, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        outs = jax.jit(model.apply)(params, imgs)
+        assert len(outs) == 6
+        hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
+        assert hw == [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+        # anchors per level: 4, 6, 6, 6, 4, 4
+        assert outs[0][0].shape[-1] == 4 * (3 + 1)
+        assert outs[1][0].shape[-1] == 6 * (3 + 1)
+
+        flat = [(c[0], r[0]) for c, r in outs]
+        gt_b, gt_l, gt_v = _gts()
+        loss = S.ssd_loss(flat, gt_b, gt_l, gt_v, num_classes=3)
+        assert np.isfinite(float(loss.loss_cls))
+        assert float(loss.loss_cls) > 0
+
+        det = jax.jit(lambda f: S.ssd_decode(f, (300, 300), 3, nms_pre=100,
+                                             max_per_img=10))(flat)
+        assert det.boxes.shape == (10, 4)
+
+    def test_hard_negative_mining_bounds_negatives(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors import (
+            ssd as S,
+        )
+
+        shapes = [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+        anchors = S.ssd_anchors(shapes)
+        total = sum(a.shape[0] for a in anchors)
+        assert total == 38*38*4 + 19*19*6 + 10*10*6 + 5*5*6 + 3*3*4 + 4
+
+
+class TestCascade:
+    def test_loss_and_detect(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.cascade_rcnn import (
+            cascade_detect, cascade_loss, make_cascade_rcnn,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.faster_rcnn import (
+            DetTrainBatch,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaConfig,
+        )
+
+        tiny = SelsaConfig(pad_h=64, pad_w=64, train_nms_pre=64,
+                           train_nms_post=32, test_nms_pre=64, test_nms_post=16,
+                           num_roi_samples=16, num_classes=5,
+                           compute_dtype=jnp.float32)
+        model, anchors = make_cascade_rcnn(tiny)
+        img = jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (64, 64, 3)), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), img[None])
+        batch = DetTrainBatch(img, jnp.asarray([64.0, 64.0]),
+                              jnp.asarray([[8.0, 8.0, 40.0, 40.0]]),
+                              jnp.asarray([2], jnp.int32),
+                              jnp.asarray([True]))
+        total, metrics = jax.jit(
+            lambda p, b, r: cascade_loss(model, p, b, r, anchors)
+        )(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(total))
+        for st in range(3):
+            assert f"s{st}.loss_cls" in metrics
+
+        det = jax.jit(
+            lambda p, im: cascade_detect(model, p, im,
+                                         jnp.asarray([64.0, 64.0]), anchors)
+        )(params, img)
+        assert det.boxes.shape == (100, 4)
+        assert np.all(np.isfinite(np.asarray(det.boxes)))
+
+    def test_zoo(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        for name in ("FCOS", "SSD", "CascadeRCNN"):
+            assert name in MODELS
