@@ -79,3 +79,31 @@ def accuracy(logits, labels, mask=None):
     if mask is not None:
         return jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.mean(correct)
+
+
+def l2_loss_hard_mining(pred, target, weight=None, avg_factor=None,
+                        sample_ratio: float = 3.0, margin: float = -1.0):
+    """Weighted L2 with hard mining (reference: mmtrack
+    models/losses/l2_loss.py:23 — used for ReID embedding matching).
+
+    Keeps the hardest ``sample_ratio * num_pos`` negative elements by loss
+    magnitude; elements below ``margin`` (when >= 0) are dropped.
+    """
+    import jax.numpy as _jnp
+
+    err = (pred.astype(_jnp.float32) - target.astype(_jnp.float32)) ** 2
+    if margin >= 0:
+        err = _jnp.where(err > margin, err, 0.0)
+    if weight is not None:
+        pos = weight > 0
+        num_pos = _jnp.maximum(_jnp.sum(pos), 1.0)
+        n_keep = (sample_ratio * num_pos).astype(_jnp.int32)
+        neg_err = _jnp.where(pos, -1.0, err)
+        flat = _jnp.sort(neg_err.reshape(-1))[::-1]
+        k = flat.shape[0]
+        thr = flat[_jnp.clip(n_keep - 1, 0, k - 1)]
+        keep = pos | ((err >= thr) & (n_keep > 0))
+        err = err * keep
+        return _reduce(err, None, avg_factor if avg_factor is not None
+                       else _jnp.sum(keep))
+    return _reduce(err, weight, avg_factor)

@@ -310,3 +310,39 @@ def build_cascade(num_classes: int = 80, **kw):
     from .models.detectors.cascade_rcnn import make_cascade_rcnn
 
     return make_cascade_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+def _register_heads_trackers_reid():
+    """Remaining Appendix-A registries: HEADS, TRACKERS, REID."""
+    from .registry import HEADS, REID, TRACKERS
+
+    from .models.dense_heads.fcos_head import FCOSHead
+    from .models.dense_heads.retina_head import RetinaHead
+    from .models.dense_heads.rpn_head import RPNHead
+    from .models.detectors.ssd import SSDHead
+    from .models.detectors.yolov3 import YOLOV3Head
+    from .models.mot.trackers import BaseTracker, SortTracker, TracktorTracker
+    from .models.reid.base_reid import BaseReID, LinearReIDHead
+    from .models.roi_heads.bbox_head import Shared2FCBBoxHead
+    from .models.roi_heads.temporal_roi_align import TemporalRoIAlign
+    from .models.sot.siamrpn import CorrelationHead
+
+    HEADS.register("RPNHead")(RPNHead)
+    HEADS.register("RetinaHead")(RetinaHead)
+    HEADS.register("FCOSHead")(FCOSHead)
+    HEADS.register("SSDHead")(SSDHead)
+    HEADS.register("YOLOV3Head")(YOLOV3Head)
+    HEADS.register("Shared2FCBBoxHead")(Shared2FCBBoxHead)
+    # SelsaBBoxHead = Shared2FCBBoxHead(with_selsa=True) — keep the name
+    HEADS.register("SelsaBBoxHead")(
+        lambda **kw: Shared2FCBBoxHead(with_selsa=True, **kw))
+    HEADS.register("SiameseRPNHead")(CorrelationHead)
+    HEADS.register("TemporalRoIAlign")(TemporalRoIAlign)
+    TRACKERS.register("BaseTracker")(BaseTracker)
+    TRACKERS.register("SortTracker")(SortTracker)
+    TRACKERS.register("TracktorTracker")(TracktorTracker)
+    REID.register("BaseReID")(BaseReID)
+    REID.register("LinearReIDHead")(LinearReIDHead)
+
+
+_register_heads_trackers_reid()
