@@ -49,29 +49,50 @@ def main():
     img_shape = jnp.asarray([600.0, 1000.0])
     scale_factor = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 
-    # params/anchors must be jit ARGUMENTS: closing over them would embed
-    # ~100MB of weights as HLO constants and overflow the remote-compile
-    # request (HTTP 413) on tunneled TPU setups.
+    # ALL arrays must be jit ARGUMENTS: closing over them embeds them as HLO
+    # constants, which on tunneled TPU backends costs milliseconds PER CALL
+    # (re-upload) — even for a [2]-element img_shape. (Weights additionally
+    # overflow the remote-compile request as constants: HTTP 413.)
     @jax.jit
-    def step(params, anchors, state, frame):
+    def step(params, anchors, state, frame, img_shape, scale_factor):
         return inference_step(
             model, params, state, frame, img_shape, scale_factor, anchors
         )
 
     frame = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
 
-    # warmup / compile
-    for _ in range(3):
-        state, dets = step(params, anchors, state, frame)
-    jax.block_until_ready(dets.boxes)
+    # Honest timing over a remote-TPU tunnel: block_until_ready alone can
+    # under-report (dispatch pipelining), so each step's output feeds the
+    # next step's input (serial chain) and we take a differential between a
+    # 10-step and a 110-step run to cancel the single end-of-chain readback.
+    def step_dep(params, anchors, state, frame, img_shape, scale_factor):
+        st, dets = inference_step(
+            model, params, state, frame, img_shape, scale_factor, anchors
+        )
+        nxt = frame + 1e-12 * dets.scores.sum()
+        return st, dets, nxt
 
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, dets = step(params, anchors, state, frame)
-    jax.block_until_ready(dets.boxes)
-    dt = time.perf_counter() - t0
-    fps = n / dt
+    step_dep = jax.jit(step_dep)
+    st, dets, fr = step_dep(params, anchors, state, frame, img_shape,
+                            scale_factor)
+    float(jax.device_get(dets.scores.sum()))  # warm + compile
+
+    def run(n):
+        t0 = time.perf_counter()
+        st, fr = state, frame
+        for _ in range(n):
+            st, dets, fr = step_dep(params, anchors, st, fr, img_shape,
+                                    scale_factor)
+        jax.device_get(dets.scores.sum())
+        return time.perf_counter() - t0
+
+    # median of 3 differentials for tunnel-noise robustness
+    diffs = []
+    for _ in range(3):
+        t_short, t_long = run(20), run(220)
+        diffs.append(t_long - t_short)
+    diffs.sort()
+    fps = 200.0 / max(diffs[1], 1e-9)
 
     print(
         json.dumps(

@@ -36,10 +36,16 @@ def bbox_overlaps(
     mode='iou': intersection over union. mode='iof': intersection over the
     area of boxes1 (foreground), matching the reference's ignore-region logic.
     """
-    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
-    rb = jnp.minimum(boxes1[..., :, None, 2:4], boxes2[..., None, :, 2:4])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    # unpacked-column broadcasting ([..., N, 1] x [..., 1, M]) — keeping a
+    # trailing size-2 coordinate dim through the [N, M] outer ops wastes the
+    # VPU lanes and is ~40x slower on TPU
+    iw = jnp.maximum(
+        jnp.minimum(boxes1[..., :, None, 2], boxes2[..., None, :, 2])
+        - jnp.maximum(boxes1[..., :, None, 0], boxes2[..., None, :, 0]), 0.0)
+    ih = jnp.maximum(
+        jnp.minimum(boxes1[..., :, None, 3], boxes2[..., None, :, 3])
+        - jnp.maximum(boxes1[..., :, None, 1], boxes2[..., None, :, 1]), 0.0)
+    inter = iw * ih
     area1 = bbox_area(boxes1)[..., :, None]
     if mode == "iof":
         union = area1
@@ -97,6 +103,35 @@ def delta2bbox(
     [..., N, 4*K]. ``max_shape`` is (H, W) for border clipping.
     """
     k = deltas.shape[-1] // 4
+    if k == 1:
+        # fast path: plain [N]-vector math, no trailing unit dims (trailing
+        # size-1/4 dims waste 97% of the VPU lanes and cost ~40x here)
+        m = jnp.asarray(means, deltas.dtype)
+        s = jnp.asarray(stds, deltas.dtype)
+        dx = deltas[..., 0] * s[0] + m[0]
+        dy = deltas[..., 1] * s[1] + m[1]
+        dw = deltas[..., 2] * s[2] + m[2]
+        dh = deltas[..., 3] * s[3] + m[3]
+        max_ratio = abs(math.log(wh_ratio_clip))
+        dw = jnp.clip(dw, -max_ratio, max_ratio)
+        dh = jnp.clip(dh, -max_ratio, max_ratio)
+        px = (rois[..., 0] + rois[..., 2]) * 0.5
+        py = (rois[..., 1] + rois[..., 3]) * 0.5
+        pw = rois[..., 2] - rois[..., 0]
+        ph = rois[..., 3] - rois[..., 1]
+        gw = pw * jnp.exp(dw)
+        gh = ph * jnp.exp(dh)
+        gx = px + pw * dx
+        gy = py + ph * dy
+        x1, y1 = gx - gw * 0.5, gy - gh * 0.5
+        x2, y2 = gx + gw * 0.5, gy + gh * 0.5
+        if max_shape is not None:
+            h, w = max_shape[0], max_shape[1]
+            x1 = jnp.clip(x1, 0, w)
+            y1 = jnp.clip(y1, 0, h)
+            x2 = jnp.clip(x2, 0, w)
+            y2 = jnp.clip(y2, 0, h)
+        return jnp.stack([x1, y1, x2, y2], axis=-1)
     means = jnp.tile(jnp.asarray(means, deltas.dtype), (k,))
     stds = jnp.tile(jnp.asarray(stds, deltas.dtype), (k,))
     denorm = deltas * stds + means

@@ -91,6 +91,7 @@ def nms_fixed(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
+    pre_top_k: Optional[int] = None,
 ) -> NMSResult:
     """Greedy NMS with exactly ``max_out`` output slots — matrix fixpoint
     formulation.
@@ -109,19 +110,30 @@ def nms_fixed(
     if valid is not None:
         live = jnp.where(valid, live, NEG_INF)
 
-    k = min(n, _MATRIX_NMS_MAX_K)
-    top_scores, order = jax.lax.top_k(live, k)  # sorted desc
-    cand_boxes = boxes[order]
+    k = min(n, pre_top_k or _MATRIX_NMS_MAX_K, _MATRIX_NMS_MAX_K)
+    # one multi-operand sort instead of top_k + row gathers: TPU gathers of
+    # [k, 4] rows cost milliseconds, a joint sort is ~0.1 ms
+    neg, order, sx1, sy1, sx2, sy2 = jax.lax.sort(
+        (-live, jnp.arange(n, dtype=jnp.int32),
+         boxes[:, 0].astype(jnp.float32), boxes[:, 1].astype(jnp.float32),
+         boxes[:, 2].astype(jnp.float32), boxes[:, 3].astype(jnp.float32)),
+        num_keys=1,
+    )
+    neg, order = neg[:k], order[:k]
+    top_scores = -neg
+    x1, y1, x2, y2 = sx1[:k], sy1[:k], sx2[:k], sy2[:k]
     alive = top_scores > NEG_INF / 2
 
-    # pairwise IoU among candidates
-    lt = jnp.maximum(cand_boxes[:, None, :2], cand_boxes[None, :, :2])
-    rb = jnp.minimum(cand_boxes[:, None, 2:4], cand_boxes[None, :, 2:4])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
-    area = jnp.maximum(cand_boxes[:, 2] - cand_boxes[:, 0], 0.0) * jnp.maximum(
-        cand_boxes[:, 3] - cand_boxes[:, 1], 0.0
-    )
+    # pairwise IoU among candidates from unpacked [K] coordinate vectors
+    # (broadcasting [K,1]x[1,K] -> [K,K]; no trailing tiny dims)
+    iw = jnp.maximum(
+        jnp.minimum(x2[:, None], x2[None, :])
+        - jnp.maximum(x1[:, None], x1[None, :]), 0.0)
+    ih = jnp.maximum(
+        jnp.minimum(y2[:, None], y2[None, :])
+        - jnp.maximum(y1[:, None], y1[None, :]), 0.0)
+    inter = iw * ih
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
     iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
     # O_ij: candidate j (strictly higher-ranked) suppresses candidate i
     tri = jnp.arange(k)[None, :] < jnp.arange(k)[:, None]
@@ -140,21 +152,26 @@ def nms_fixed(
         cond, body, (alive, jnp.zeros_like(alive), jnp.asarray(0))
     )
 
-    # first max_out kept candidates in score order
+    # first max_out kept candidates in score order, assembled by 1-D
+    # scatters of the sorted columns (no row gathers)
     kept_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1  # rank among kept
-    slot = jnp.where(keep, kept_rank, max_out)  # park dropped at sentinel
-    out_inds = jnp.zeros((max_out,), jnp.int32)
-    out_valid = jnp.zeros((max_out,), bool)
-    src = jnp.clip(slot, 0, max_out)
-    out_inds = jnp.zeros((max_out + 1,), jnp.int32).at[src].set(
-        order.astype(jnp.int32), mode="drop"
-    )[:max_out]
+    src = jnp.clip(jnp.where(keep, kept_rank, max_out), 0, max_out)
+
+    def place(col, fill):
+        return jnp.full((max_out + 1,), fill, col.dtype).at[src].set(
+            jnp.where(keep, col, fill), mode="drop"
+        )[:max_out]
+
+    out_inds = place(order.astype(jnp.int32), 0)
     out_valid = jnp.zeros((max_out + 1,), bool).at[src].set(
         keep, mode="drop"
     )[:max_out]
-    return NMSResult(
-        boxes[out_inds], scores[out_inds] * out_valid, out_inds, out_valid
+    out_boxes = jnp.stack(
+        [place(x1, 0.0), place(y1, 0.0), place(x2, 0.0), place(y2, 0.0)],
+        axis=-1,
     )
+    out_scores = place(top_scores, 0.0) * out_valid
+    return NMSResult(out_boxes, out_scores, out_inds, out_valid)
 
 
 def batched_nms(
@@ -169,10 +186,12 @@ def batched_nms(
     boxes of different ``idxs`` never overlap, so one ``nms_fixed`` call does
     per-class NMS jointly."""
     max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
-    offsets = idxs.astype(boxes.dtype) * max_coord
+    offsets = idxs.astype(jnp.float32) * max_coord
     shifted = boxes + offsets[:, None]
     res = nms_fixed(shifted, scores, iou_threshold, max_out, valid=valid)
-    return NMSResult(boxes[res.inds], res.scores, res.inds, res.valid)
+    # un-shift instead of re-gathering full box rows (1-D offset gather only)
+    out_boxes = res.boxes - offsets[res.inds][:, None] * res.valid[:, None]
+    return NMSResult(out_boxes, res.scores, res.inds, res.valid)
 
 
 class DetResult(NamedTuple):

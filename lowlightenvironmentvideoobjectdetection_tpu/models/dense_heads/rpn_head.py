@@ -136,12 +136,14 @@ def rpn_proposals(
     for (cls, reg), anc in zip(level_outs, level_anchors):
         scores = jax.nn.sigmoid(cls.reshape(-1).astype(jnp.float32))
         deltas = reg.reshape(-1, 4).astype(jnp.float32)
-        k = min(nms_pre, scores.shape[0])
-        top_scores, top_idx = jax.lax.top_k(scores, k)
-        decoded = box_ops.delta2bbox(anc[top_idx], deltas[top_idx], max_shape=img_shape)
-        all_scores.append(top_scores)
+        # decode ALL anchors (cheap vector math) instead of top_k + row
+        # gathers (TPU row gathers of [k, 4] cost milliseconds); nms_fixed
+        # sorts and keeps the top ``nms_pre`` itself
+        decoded = box_ops.delta2bbox(anc, deltas, max_shape=img_shape)
+        all_scores.append(scores)
         all_boxes.append(decoded)
     scores = jnp.concatenate(all_scores)
     cand = jnp.concatenate(all_boxes, axis=0)
-    res = nms_ops.nms_fixed(cand, scores, iou_threshold, nms_post)
+    res = nms_ops.nms_fixed(cand, scores, iou_threshold, nms_post,
+                            pre_top_k=nms_pre)
     return Proposals(res.boxes, res.scores, res.valid)

@@ -63,6 +63,10 @@ class SelsaConfig:
     num_ref_frames: int = 14
     # dtypes
     compute_dtype: Any = jnp.bfloat16
+    # bbox-head matmul dtype (None = follow compute_dtype): bf16 runs the
+    # 25088->1024 FCs and the SELSA attention on the MXU at full rate;
+    # logits are cast to f32 downstream
+    head_dtype: Any = None
     # training backbone stage outputs exposed for feature-consistency losses
     out_indices: Tuple[int, ...] = (3,)
     # None = plain ResNet; else a dark-backbone variant name from
@@ -123,7 +127,7 @@ class SelsaDetector(nn.Module):
         self.bbox_head = bh.Shared2FCBBoxHead(
             num_classes=c.num_classes,
             with_selsa=True,
-            dtype=jnp.float32,
+            dtype=c.head_dtype if c.head_dtype is not None else c.compute_dtype,
             name="bbox_head",
         )
 

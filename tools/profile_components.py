@@ -1,4 +1,5 @@
 #!/usr/bin/env python
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 """Component-level timing of the SELSA streaming step on the real TPU."""
 import time, json
 import jax
