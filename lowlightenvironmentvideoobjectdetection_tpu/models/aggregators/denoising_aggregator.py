@@ -138,7 +138,10 @@ class TemporalAttentionFusion(nn.Module):
             w = jax.nn.softmax(h, axis=0)
             return jnp.sum(w * x, axis=0)
 
-        fused = jax.vmap(fuse_one)(x)  # [T, H, W, C_mid]
+        # sequential (python-unrolled) fusion over reference frames: vmap
+        # materializes all T fusions at once, which at stage-0 resolution
+        # exhausts HBM during full-res training; the loop keeps peak /T
+        fused = jnp.stack([fuse_one(x[i]) for i in range(t)])
         return nn.relu(conv2(fused))
 
 

@@ -196,7 +196,8 @@ class LayerDenoisingPlugin(nn.Module):
             x_cor = jax.nn.softmax(emb_conv(x_dcn * refs), axis=0)
             return jnp.sum(x_cor * out, axis=0)
 
-        fused = jax.vmap(fuse_one)(out)  # [T, H, W, p]
+        # sequential fusion over frames (see TemporalAttentionFusion): /T peak
+        fused = jnp.stack([fuse_one(out[i]) for i in range(out.shape[0])])
         fused = FrozenBatchNorm(dtype=d, name="bn2")(fused)
         fused = nn.relu(fused)
         if self.with_cbam:

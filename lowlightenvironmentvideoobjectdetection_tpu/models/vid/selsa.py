@@ -207,7 +207,10 @@ def selsa_loss(
     cfg = model.cfg
     rng_rpn, rng_roi = jax.random.split(rng)
 
-    _, neck_feat = model.apply(params, batch.imgs, method=SelsaDetector.extract_feat)
+    extract = jax.checkpoint(
+        lambda p, imgs: model.apply(p, imgs, method=SelsaDetector.extract_feat)
+    )
+    _, neck_feat = extract(params, batch.imgs)
     cls_all, reg_all = model.apply(params, neck_feat, method=SelsaDetector.rpn_forward)
 
     # RPN loss on the key frame

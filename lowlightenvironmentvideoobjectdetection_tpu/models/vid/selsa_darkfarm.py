@@ -168,23 +168,30 @@ def darkfarm_loss(
     rng_rpn, rng_roi = jax.random.split(rng)
 
     det_in = batch.pair_imgs[..., :c] if branch == "noise" else batch.pair_imgs[..., c:]
-    stage_feats, neck_feat = model.apply(
-        params, det_in, method=SelsaDarkfarmDetector.extract_noise_feat
+    # rematerialize the backbone in the backward pass: at full resolution the
+    # stored stage activations of 3 frames otherwise exhaust HBM
+    extract = jax.checkpoint(
+        lambda p, imgs: model.apply(
+            p, imgs, method=SelsaDarkfarmDetector.extract_noise_feat)
     )
+    stage_feats, neck_feat = extract(params, det_in)
 
     metrics = {}
     total = 0.0
     denoised_stages = None
     if cfg.with_aggregator:
-        denoised_stages, neck_feat = model.apply(
-            params, stage_feats, neck_feat,
-            method=SelsaDarkfarmDetector.denoise_feats,
+        denoise = jax.checkpoint(
+            lambda p, sf, nf: model.apply(
+                p, sf, nf, method=SelsaDarkfarmDetector.denoise_feats)
         )
+        denoised_stages, neck_feat = denoise(params, stage_feats, neck_feat)
     if cfg.with_cleaner and branch == "noise":
         clean_imgs = batch.pair_imgs[..., c:]
-        clean_feats = model.apply(
-            params, clean_imgs, method=SelsaDarkfarmDetector.extract_clean_feat
+        clean_extract = jax.checkpoint(
+            lambda p, imgs: model.apply(
+                p, imgs, method=SelsaDarkfarmDetector.extract_clean_feat)
         )
+        clean_feats = clean_extract(params, clean_imgs)
         feat_loss_fn = _FEAT_LOSS[cfg.loss_type]
         # all but the duplicated last entry supervise; computed over ALL
         # frames (key + refs), plain mean, as the reference (L171-187).

@@ -59,12 +59,15 @@ def modulated_deform_conv(
     sy = gy + base_y[None, None, None, :] + dy  # [H, W, G, K]
     sx = gx + base_x[None, None, None, :] + dx
 
-    # bilinear gather with zero padding outside
-    def gather_group(xg, sy, sx, mg):
-        """xg: [H, W, Cpg]; sy/sx/mg: [H, W, K] -> [H, W, K, Cpg]."""
-        inb = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
-        syc = jnp.clip(sy, 0.0, h - 1.0)
-        sxc = jnp.clip(sx, 0.0, w - 1.0)
+    # bilinear gather with zero padding outside; per-TAP accumulation keeps
+    # the live intermediate at [H, W, Cin] instead of [H, W, K, Cin] (9x
+    # smaller — the K-materializing variant OOMs 16GB chips during full-res
+    # aggregator training)
+    def sample_group(xg, sy_k, sx_k, m_k):
+        """xg: [H, W, Cpg]; sy_k/sx_k/m_k: [H, W] -> [H, W, Cpg]."""
+        inb = (sy_k > -1.0) & (sy_k < h) & (sx_k > -1.0) & (sx_k < w)
+        syc = jnp.clip(sy_k, 0.0, h - 1.0)
+        sxc = jnp.clip(sx_k, 0.0, w - 1.0)
         y0 = jnp.floor(syc)
         x0 = jnp.floor(sxc)
         y1 = jnp.minimum(y0 + 1, h - 1.0)
@@ -83,18 +86,19 @@ def modulated_deform_conv(
             + take(y1, x1) * (ly * lx)[..., None]
         )
         val = jnp.where(inb[..., None], val, 0.0)
-        return val * mg[..., None]
-
-    cols = []
-    for gi in range(g):
-        xg = x[..., gi * cpg:(gi + 1) * cpg]
-        cols.append(gather_group(xg, sy[:, :, gi], sx[:, :, gi], m[:, :, gi]))
-    # [H, W, K, Cin]
-    col = jnp.concatenate(cols, axis=-1) if g > 1 else cols[0]
+        return val * (m_k[..., None])
 
     w_mat = weight.reshape(kk, cin, -1)  # [K, Cin, Cout]
-    out = jnp.einsum("hwkc,kco->hwo", col, w_mat,
-                     preferred_element_type=jnp.float32)
+    out = jnp.zeros((h, w, w_mat.shape[-1]), jnp.float32)
+    for ki in range(kk):
+        taps = []
+        for gi in range(g):
+            xg = x[..., gi * cpg:(gi + 1) * cpg]
+            taps.append(sample_group(
+                xg, sy[:, :, gi, ki], sx[:, :, gi, ki], m[:, :, gi, ki]))
+        tap = jnp.concatenate(taps, axis=-1) if g > 1 else taps[0]
+        out = out + jnp.einsum("hwc,co->hwo", tap, w_mat[ki],
+                               preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     return out
