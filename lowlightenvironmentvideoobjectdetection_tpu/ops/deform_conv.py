@@ -89,16 +89,29 @@ def modulated_deform_conv(
         return val * (m_k[..., None])
 
     w_mat = weight.reshape(kk, cin, -1)  # [K, Cin, Cout]
-    out = jnp.zeros((h, w, w_mat.shape[-1]), jnp.float32)
-    for ki in range(kk):
+
+    def tap_body(acc, per_tap):
+        sy_k, sx_k, m_k, w_k = per_tap  # [H,W,G], [H,W,G], [H,W,G], [Cin,Cout]
         taps = []
         for gi in range(g):
             xg = x[..., gi * cpg:(gi + 1) * cpg]
             taps.append(sample_group(
-                xg, sy[:, :, gi, ki], sx[:, :, gi, ki], m[:, :, gi, ki]))
+                xg, sy_k[:, :, gi], sx_k[:, :, gi], m_k[:, :, gi]))
         tap = jnp.concatenate(taps, axis=-1) if g > 1 else taps[0]
-        out = out + jnp.einsum("hwc,co->hwo", tap, w_mat[ki],
-                               preferred_element_type=jnp.float32)
+        return acc + jnp.einsum("hwc,co->hwo", tap, w_k,
+                                preferred_element_type=jnp.float32), None
+
+    # scan over the K taps: same math as an unrolled loop but the HLO holds
+    # ONE tap body instead of K copies — the unrolled form made the full-res
+    # aggregator training graph take >30 min to compile
+    out0 = jnp.zeros((h, w, w_mat.shape[-1]), jnp.float32)
+    per_tap = (
+        jnp.moveaxis(sy, -1, 0),  # [K, H, W, G]
+        jnp.moveaxis(sx, -1, 0),
+        jnp.moveaxis(m, -1, 0),
+        w_mat,
+    )
+    out, _ = jax.lax.scan(tap_body, out0, per_tap)
     if bias is not None:
         out = out + bias
     return out
