@@ -171,3 +171,47 @@ class TestMotionUtils:
         boxes = np.array([[20, 20, 40, 40]], np.float32)
         out = cmc.track(img, shifted, boxes)
         np.testing.assert_allclose(out[0], [32, 28, 52, 48], atol=1.0)
+
+
+class TestTrackUtils:
+    def test_track2result_roundtrip(self):
+        import numpy as np
+        from lowlightenvironmentvideoobjectdetection_tpu.core.track_utils import (
+            restore_result, track2result,
+        )
+
+        bboxes = np.asarray([[0, 0, 10, 10, 0.9], [5, 5, 20, 20, 0.8]], np.float32)
+        labels = np.asarray([0, 2])
+        ids = np.asarray([7, 9])
+        res = track2result(bboxes, labels, ids, num_classes=3)
+        assert len(res) == 3 and res[1].shape == (0, 6)
+        b2, l2, i2 = restore_result(res)
+        assert sorted(i2.tolist()) == [7, 9]
+        assert sorted(l2.tolist()) == [0, 2]
+        assert b2.shape == (2, 5)
+
+    def test_imrenormalize(self):
+        import numpy as np
+        from lowlightenvironmentvideoobjectdetection_tpu.core.track_utils import (
+            imrenormalize,
+        )
+
+        raw = np.random.RandomState(0).uniform(0, 255, (8, 8, 3)).astype(np.float32)
+        c1 = dict(mean=[100, 100, 100], std=[50, 50, 50], to_rgb=False)
+        c2 = dict(mean=[0, 0, 0], std=[255, 255, 255], to_rgb=False)
+        img1 = (raw - 100) / 50
+        img2 = imrenormalize(img1, c1, c2)
+        np.testing.assert_allclose(img2, raw / 255, rtol=1e-5)
+
+    def test_embed_similarity(self):
+        import numpy as np
+        from lowlightenvironmentvideoobjectdetection_tpu.core.track_utils import (
+            embed_similarity,
+        )
+
+        k = np.asarray([[1.0, 0.0], [0.0, 2.0]])
+        r = np.asarray([[2.0, 0.0], [0.0, 1.0]])
+        cos = embed_similarity(k, r, method="cosine")
+        np.testing.assert_allclose(cos, np.eye(2), atol=1e-6)
+        dot = embed_similarity(k, r)
+        np.testing.assert_allclose(dot, [[2, 0], [0, 2]])

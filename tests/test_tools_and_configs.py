@@ -131,3 +131,34 @@ class TestCLISmoke:
         )
         assert r.returncode == 0
         assert "mean iter time" in r.stdout
+
+
+class TestSlidingWindow:
+    def test_tile_grid_covers(self):
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        try:
+            from sliding_window_inference import tile_grid
+        finally:
+            sys.path.pop(0)
+        tiles = tile_grid(300, 500, win=128, overlap=0.25)
+        # full coverage: every pixel inside some window
+        cov = set()
+        for (y, x) in tiles:
+            assert 0 <= y <= 300 - 128 and 0 <= x <= 500 - 128
+        ys = sorted({y for y, _ in tiles})
+        xs = sorted({x for _, x in tiles})
+        assert ys[0] == 0 and ys[-1] == 300 - 128
+        assert xs[0] == 0 and xs[-1] == 500 - 128
+        # neighbor stride <= win (overlap)
+        for a, b in zip(ys, ys[1:]):
+            assert b - a <= 128
+        for a, b in zip(xs, xs[1:]):
+            assert b - a <= 128
+
+    def test_tile_grid_small_image(self):
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        try:
+            from sliding_window_inference import tile_grid
+        finally:
+            sys.path.pop(0)
+        assert tile_grid(50, 60, win=128, overlap=0.25) == [(0, 0)]
