@@ -141,3 +141,51 @@ class Trainer:
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+
+
+def make_sot_lr_schedule(
+    base_lr: float = 0.005,
+    warmup_epochs: int = 5,
+    total_epochs: int = 20,
+    iters_per_epoch: int = 1000,
+    start_factor: float = 0.2,
+    end_lr_factor: float = 0.1,
+) -> "optax.Schedule":
+    """SiamRPN++ schedule (reference: mmtrack/core/optimizer/
+    sot_lr_updater.py): linear warmup over the first epochs, then log-space
+    decay to ``base_lr * end_lr_factor``."""
+    import jax.numpy as _jnp
+
+    warm_iters = warmup_epochs * iters_per_epoch
+    total_iters = total_epochs * iters_per_epoch
+
+    def sched(count):
+        frac = _jnp.clip(count / max(warm_iters, 1), 0.0, 1.0)
+        warm = base_lr * (start_factor + (1 - start_factor) * frac)
+        decay_frac = _jnp.clip(
+            (count - warm_iters) / max(total_iters - warm_iters, 1), 0.0, 1.0)
+        decay = base_lr * _jnp.exp(
+            _jnp.log(_jnp.asarray(end_lr_factor)) * decay_frac)
+        return _jnp.where(count < warm_iters, warm, decay)
+
+    return sched
+
+
+def unfreeze_mask_at_epoch(params, epoch: int, unfreeze_epoch: int = 10,
+                           backbone_prefix: str = "backbone") -> Any:
+    """SiamRPN++ backbone unfreezing (reference: sot_optimizer_hook.py):
+    before ``unfreeze_epoch`` the backbone is frozen (mask False); after it,
+    trainable. Combine with ``optax.masked`` per-epoch."""
+    unfrozen = epoch >= unfreeze_epoch
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def trainable(path):
+        keys = "/".join(p.key for p in path
+                        if isinstance(p, jax.tree_util.DictKey))
+        in_backbone = f"/{backbone_prefix}/" in f"/{keys}/"
+        return (not in_backbone) or unfrozen
+
+    leaves = {jax.tree_util.keystr(p): trainable(p) for p, _ in flat}
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: leaves[jax.tree_util.keystr(p)], params
+    )

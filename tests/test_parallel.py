@@ -93,3 +93,28 @@ class TestTrainer:
         assert float(sched(25)) == pytest.approx(0.01 * (1/3 + (2/3) * 0.25))
         assert float(sched(2500)) == pytest.approx(0.01 * 0.1)   # after epoch 2
         assert float(sched(6000)) == pytest.approx(0.01 * 0.01)  # after epoch 5
+
+
+class TestSOTOptim:
+    def test_sot_lr_schedule(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.parallel.train import (
+            make_sot_lr_schedule,
+        )
+
+        sched = make_sot_lr_schedule(base_lr=0.01, warmup_epochs=2,
+                                     total_epochs=10, iters_per_epoch=100)
+        assert float(sched(0)) == pytest.approx(0.01 * 0.2)
+        assert float(sched(200)) == pytest.approx(0.01, rel=1e-3)
+        assert float(sched(1000)) == pytest.approx(0.001, rel=1e-3)
+
+    def test_unfreeze_mask(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.parallel.train import (
+            unfreeze_mask_at_epoch,
+        )
+
+        params = {"params": {"backbone": {"w": jnp.zeros(1)},
+                             "head": {"w": jnp.zeros(1)}}}
+        m0 = unfreeze_mask_at_epoch(params, epoch=0, unfreeze_epoch=10)
+        assert not m0["params"]["backbone"]["w"] and m0["params"]["head"]["w"]
+        m1 = unfreeze_mask_at_epoch(params, epoch=10, unfreeze_epoch=10)
+        assert m1["params"]["backbone"]["w"]
