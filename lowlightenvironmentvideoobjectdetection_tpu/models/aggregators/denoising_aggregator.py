@@ -194,6 +194,11 @@ class Denoising2Aggregator(nn.Module):
         n = len(self.in_channels)
         x_noise_out = []
         x_list = []
+        # rematerialized blocks: the per-stage RDB concat chains and the
+        # temporal-attention fusion are the HBM peak at full resolution —
+        # recompute them in the backward pass
+        RematRDB = nn.remat(RDB)
+        RematTAF = nn.remat(TemporalAttentionFusion)
         for i in range(n):
             if i == 0:
                 f = x_noise[0]
@@ -203,10 +208,10 @@ class Denoising2Aggregator(nn.Module):
                         dtype=self.dtype, name=f"stage{i}_conv1")(f)
             if self.with_rdb[i]:
                 for j in range(self.rdb_blocks[i]):
-                    x = RDB(self.in_channels[i], self.channel_growth[i],
-                            dtype=self.dtype, name=f"stage{i}_rdb{j}")(x)
+                    x = RematRDB(self.in_channels[i], self.channel_growth[i],
+                                 dtype=self.dtype, name=f"stage{i}_rdb{j}")(x)
             if self.with_taf[i]:
-                x = TemporalAttentionFusion(
+                x = RematTAF(
                     self.in_channels[i], self.mid_channels[i],
                     emb_nums=self.taf_embs[i], dtype=self.dtype,
                     name=f"stage{i}_taf",
