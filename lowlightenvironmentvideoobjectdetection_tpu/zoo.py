@@ -346,3 +346,12 @@ def _register_heads_trackers_reid():
 
 
 _register_heads_trackers_reid()
+
+
+@MODELS.register("ATSS")
+def build_atss(num_classes: int = 80, depth: int = 50, **kw):
+    """ATSS adaptive-sample-selection detector (reference: mmdet atss.py +
+    atss_head.py)."""
+    from .models.dense_heads.atss_head import ATSS
+
+    return ATSS(num_classes=num_classes, depth=depth, **kw)

@@ -140,3 +140,59 @@ class TestCascade:
 
         for name in ("FCOS", "SSD", "CascadeRCNN"):
             assert name in MODELS
+
+
+class TestATSS:
+    def test_forward_loss_decode(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+            atss_head as A,
+        )
+
+        model = A.ATSS(num_classes=3, dtype=jnp.float32)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (1, 128, 128, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        outs = jax.jit(model.apply)(params, imgs)
+        assert len(outs) == 5
+        assert outs[0][0].shape == (1, 16, 16, 3)  # 1 anchor/loc
+        flat = [(c[0], r[0], t[0]) for c, r, t in outs]
+        gt_b, gt_l, gt_v = _gts()
+        loss = jax.jit(lambda f: A.atss_loss(f, gt_b, gt_l, gt_v, 3))(flat)
+        for v in loss:
+            assert np.isfinite(float(v)), loss
+        det = jax.jit(lambda f: A.atss_decode(f, (128, 128), 3, nms_pre=100,
+                                              max_per_img=10))(flat)
+        assert det.boxes.shape == (10, 4)
+
+    def test_adaptive_assignment_selects_inside_anchors(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+            atss_head as A,
+        )
+
+        shapes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+        level_anchors = A.atss_anchors(shapes)
+        gt = jnp.asarray([[30.0, 30.0, 90.0, 90.0]])
+        assigned = A.atss_assign(level_anchors, gt, jnp.asarray([True]))
+        pos_idx = np.nonzero(np.asarray(assigned) >= 0)[0]
+        assert len(pos_idx) > 0
+        anchors = np.asarray(jnp.concatenate(level_anchors))
+        centers = (anchors[pos_idx, :2] + anchors[pos_idx, 2:]) / 2
+        assert (centers > 30).all() and (centers < 90).all()
+
+    def test_no_valid_gt(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+            atss_head as A,
+        )
+
+        shapes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+        level_anchors = A.atss_anchors(shapes)
+        gt = jnp.asarray([[10.0, 10.0, 50.0, 50.0]])
+        assigned = A.atss_assign(level_anchors, gt, jnp.asarray([False]))
+        assert (np.asarray(assigned) == -1).all()
+
+    def test_zoo_atss(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        assert "ATSS" in MODELS
