@@ -36,7 +36,7 @@ class FasterRCNN(nn.Module):
         c = self.cfg
         self.backbone = ResNet(
             depth=c.depth, strides=(1, 2, 2, 1), dilations=(1, 1, 1, 2),
-            out_indices=c.out_indices, frozen_stages=1,
+            out_indices=c.out_indices, frozen_stages=c.frozen_stages,
             dtype=c.compute_dtype, name="backbone",
         )
         self.neck = ChannelMapper(

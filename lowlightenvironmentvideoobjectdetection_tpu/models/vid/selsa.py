@@ -73,6 +73,9 @@ class SelsaConfig:
     # backbones.dark_resnet.DARK_VARIANTS (DarkResNet, ResNet_A, ResNetC, ...)
     backbone_variant: Any = None
     backbone_in_channels: int = 3
+    # stages to freeze (reference default 1, for ImageNet-pretrained warm
+    # starts); -1 trains everything (needed when training from scratch)
+    frozen_stages: int = 1
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -100,7 +103,7 @@ class SelsaDetector(nn.Module):
                 strides=(1, 2, 2, 1),
                 dilations=(1, 1, 1, 2),
                 out_indices=c.out_indices,
-                frozen_stages=1,
+                frozen_stages=c.frozen_stages,
                 dtype=c.compute_dtype,
                 name="backbone",
             )
@@ -110,7 +113,7 @@ class SelsaDetector(nn.Module):
                 strides=(1, 2, 2, 1),
                 dilations=(1, 1, 1, 2),
                 out_indices=c.out_indices,
-                frozen_stages=1,
+                frozen_stages=c.frozen_stages,
                 dtype=c.compute_dtype,
                 name="backbone",
             )
