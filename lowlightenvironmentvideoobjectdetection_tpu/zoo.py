@@ -355,3 +355,11 @@ def build_atss(num_classes: int = 80, depth: int = 50, **kw):
     from .models.dense_heads.atss_head import ATSS
 
     return ATSS(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("MaskRCNN")
+def build_mask_rcnn(num_classes: int = 80, **kw):
+    """Mask R-CNN (reference: mmdet mask_rcnn.py + fcn_mask_head.py)."""
+    from .models.detectors.mask_rcnn import make_mask_rcnn
+
+    return make_mask_rcnn(_selsa_cfg(num_classes=num_classes, **kw))

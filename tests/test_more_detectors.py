@@ -196,3 +196,79 @@ class TestATSS:
         from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
 
         assert "ATSS" in MODELS
+
+
+class TestMaskRCNN:
+    def _tiny(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.mask_rcnn import (
+            make_mask_rcnn,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaConfig,
+        )
+
+        cfg = SelsaConfig(pad_h=64, pad_w=64, train_nms_pre=64,
+                          train_nms_post=32, test_nms_pre=64, test_nms_post=16,
+                          num_roi_samples=16, num_classes=3,
+                          compute_dtype=jnp.float32)
+        return make_mask_rcnn(cfg)
+
+    def test_loss_and_detect_with_masks(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.mask_rcnn import (
+            MaskRCNN, MaskTrainBatch, mask_rcnn_detect, mask_rcnn_loss,
+        )
+
+        model, anchors = self._tiny()
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.uniform(-1, 1, (64, 64, 3)), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), img[None])
+        gt_masks = np.zeros((2, 64, 64), np.float32)
+        gt_masks[0, 10:40, 8:44] = 1.0
+        gt_masks[1, 20:60, 30:60] = 1.0
+        batch = MaskTrainBatch(
+            img, jnp.asarray([64.0, 64.0]),
+            jnp.asarray([[8.0, 10.0, 44.0, 40.0], [30.0, 20.0, 60.0, 60.0]]),
+            jnp.asarray([1, 2], jnp.int32), jnp.asarray([True, True]),
+            jnp.asarray(gt_masks),
+        )
+        total, metrics = jax.jit(
+            lambda p, b, r: mask_rcnn_loss(model, p, b, r, anchors)
+        )(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(total))
+        assert "loss_mask" in metrics and float(metrics["loss_mask"]) > 0
+
+        dets, masks = jax.jit(
+            lambda p, im: mask_rcnn_detect(model, p, im,
+                                           jnp.asarray([64.0, 64.0]), anchors)
+        )(params, img)
+        assert masks.shape == (dets.boxes.shape[0], 64, 64)
+        assert masks.dtype == jnp.bool_
+
+    def test_mask_targets_crop(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads.mask_head import (
+            mask_targets,
+        )
+
+        gm = np.zeros((1, 32, 32), np.float32)
+        gm[0, 8:24, 8:24] = 1.0  # square mask
+        rois = jnp.asarray([[8.0, 8.0, 24.0, 24.0]])  # roi == mask extent
+        t = mask_targets(jnp.asarray(gm), jnp.asarray([0]), rois, mask_size=8)
+        # the full target should be (almost) all ones
+        assert float(t.mean()) > 0.9
+
+    def test_paste_masks_inside_box(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads.mask_head import (
+            paste_masks,
+        )
+
+        probs = jnp.ones((1, 4, 4))
+        boxes = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+        full = paste_masks(probs, boxes, 32, 32)
+        m = np.asarray(full[0])
+        assert m[15, 15] and not m[5, 5] and not m[25, 25]
+
+    def test_zoo_maskrcnn(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        assert "MaskRCNN" in MODELS
