@@ -87,17 +87,29 @@ def main():
         ds = ds_cls(ann_file=dcfg["ann_file"],
                     img_prefix=dcfg.get("img_prefix", ""), test_mode=True)
         pipe = Compose(dcfg["pipeline"])
+        annotations = []
+        det_lists = []
         for i in range(len(ds)):
             s = ds[i]
             r = pipe(dict(img_info=s["img_info"], ann=s["ann"],
                           img_prefix=ds.img_prefix))
             fid = s["img_info"].get("frame_id", i)
             out = model.inference_vid(np.asarray(r["img"], np.float32), fid)
+            det_lists.append(out["bbox_results"])
+            annotations.append(dict(bboxes=s["ann"]["bboxes"],
+                                    labels=s["ann"]["labels"]))
             results.append(dict(frame_id=fid, bbox_results=[
                 b.tolist() for b in out["bbox_results"]]))
     dt = time.perf_counter() - t0
     fps = len(results) / dt if dt > 0 else 0.0
     summary = dict(frames=len(results), fps=round(fps, 2), eval=args.eval)
+    if "bbox" in args.eval and not args.synthetic and results:
+        from lowlightenvironmentvideoobjectdetection_tpu.core.eval.mean_ap import (
+            eval_map,
+        )
+
+        mAP, _ = eval_map(det_lists, annotations, iou_thr=0.5)
+        summary["mAP50"] = round(float(mAP), 4)
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
