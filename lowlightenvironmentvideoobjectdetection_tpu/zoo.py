@@ -363,3 +363,12 @@ def build_mask_rcnn(num_classes: int = 80, **kw):
     from .models.detectors.mask_rcnn import make_mask_rcnn
 
     return make_mask_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+@MODELS.register("DETR")
+def build_detr(num_classes: int = 80, **kw):
+    """DETR set-prediction detector (reference: mmdet detr.py +
+    transformer_head.py); Hungarian matching runs the native C++ JV solver."""
+    from .models.detectors.detr import DETR
+
+    return DETR(num_classes=num_classes, **kw)

@@ -272,3 +272,70 @@ class TestMaskRCNN:
         from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
 
         assert "MaskRCNN" in MODELS
+
+
+class TestDETR:
+    def test_forward_loss_detect(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors import (
+            detr as D,
+        )
+
+        model = D.DETR(num_classes=3, num_queries=20, dim=64, enc_layers=1,
+                       dec_layers=1)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (1, 64, 64, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        cls_logits, boxes = jax.jit(model.apply)(params, imgs)
+        assert cls_logits.shape == (20, 4)
+        assert boxes.shape == (20, 4)
+        assert float(boxes.min()) >= 0 and float(boxes.max()) <= 1
+
+        gt_b, gt_l, gt_v = _gts()
+        loss = jax.jit(lambda c, b: D.detr_loss(
+            c, b, gt_b, gt_l, gt_v, (64, 64), 3))(cls_logits, boxes)
+        for v in loss:
+            assert np.isfinite(float(v)), loss
+
+        det = jax.jit(lambda c, b: D.detr_detect(c, b, (64, 64), 3,
+                                                 max_per_img=10))(
+            cls_logits, boxes)
+        assert det.boxes.shape == (10, 4)
+
+    def test_hungarian_matches_each_gt_once(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.detr import (
+            _hungarian_host,
+        )
+
+        cost = np.asarray([[0.1, 5.0], [5.0, 0.1], [1.0, 1.0]])
+        m = _hungarian_host(cost)  # per-gt matched query
+        assert m.tolist() == [0, 1]
+
+    def test_loss_decreases(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors import (
+            detr as D,
+        )
+
+        model = D.DETR(num_classes=3, num_queries=12, dim=64, enc_layers=1,
+                       dec_layers=1)
+        imgs = jnp.asarray(
+            np.random.RandomState(1).uniform(-1, 1, (1, 64, 64, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        gt_b, gt_l, gt_v = _gts()
+
+        def lf(p):
+            c, b = model.apply(p, imgs)
+            l = D.detr_loss(c, b, gt_b, gt_l, gt_v, (64, 64), 3)
+            return l.loss_cls + l.loss_bbox + l.loss_giou
+
+        l0, g = jax.value_and_grad(lf)(params)
+        l1 = min(float(lf(jax.tree.map(lambda a, b_: a - lr * b_, params, g)))
+                 for lr in (1e-3, 1e-4, 1e-5))
+        assert l1 < float(l0)
+
+    def test_zoo_detr(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        assert "DETR" in MODELS
