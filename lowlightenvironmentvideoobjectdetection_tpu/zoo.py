@@ -372,3 +372,12 @@ def build_detr(num_classes: int = 80, **kw):
     from .models.detectors.detr import DETR
 
     return DETR(num_classes=num_classes, **kw)
+
+
+@MODELS.register("GFL")
+def build_gfl(num_classes: int = 80, depth: int = 50, **kw):
+    """Generalized Focal Loss detector (reference: mmdet gfl.py +
+    gfl_head.py): quality focal + distribution focal + GIoU, ATSS assign."""
+    from .models.dense_heads.gfl_head import GFL
+
+    return GFL(num_classes=num_classes, depth=depth, **kw)

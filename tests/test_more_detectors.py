@@ -339,3 +339,46 @@ class TestDETR:
         from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
 
         assert "DETR" in MODELS
+
+
+class TestGFL:
+    def test_forward_loss_decode(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+            gfl_head as G,
+        )
+
+        model = G.GFL(num_classes=3, reg_max=8, dtype=jnp.float32)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (1, 128, 128, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        outs = jax.jit(model.apply)(params, imgs)
+        assert outs[0][1].shape == (1, 16, 16, 4 * 9)  # 4*(reg_max+1)
+        flat = [(c[0], r[0]) for c, r in outs]
+        gt_b, gt_l, gt_v = _gts()
+        loss = jax.jit(lambda f: G.gfl_loss(f, gt_b, gt_l, gt_v, 3, reg_max=8))(flat)
+        for v in loss:
+            assert np.isfinite(float(v)), loss
+        det = jax.jit(lambda f: G.gfl_decode(f, (128, 128), 3, reg_max=8,
+                                             nms_pre=100, max_per_img=10))(flat)
+        assert det.boxes.shape == (10, 4)
+
+    def test_integral_expectation(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.gfl_head import (
+            _integral,
+        )
+
+        # delta distribution on bin 3 -> expected distance 3
+        logits = np.full((1, 4 * 9), -20.0, np.float32)
+        logits[0, 3] = 20.0            # side 0 bin 3
+        logits[0, 9 + 5] = 20.0        # side 1 bin 5
+        logits[0, 18 + 0] = 20.0       # side 2 bin 0
+        logits[0, 27 + 8] = 20.0       # side 3 bin 8
+        d = np.asarray(_integral(jnp.asarray(logits), 8))
+        np.testing.assert_allclose(d[0], [3, 5, 0, 8], atol=1e-3)
+
+    def test_zoo_gfl(self):
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+
+        assert "GFL" in MODELS
