@@ -211,7 +211,13 @@ def main():
             load_checkpoint,
         )
 
-        variables = load_checkpoint(args.resume_from)
+        restored = load_checkpoint(args.resume_from)
+        # a TrainState checkpoint restores as {params, opt_state, step};
+        # a bare variables tree restores as {params, batch_stats}
+        if isinstance(restored, dict) and "opt_state" in restored:
+            variables = restored["params"]
+        else:
+            variables = restored
 
     steps = args.steps or cfg.get("total_epochs", 7) * 1000
     opt_cfg = cfg.get("optimizer", {})
