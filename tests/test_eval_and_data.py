@@ -155,3 +155,50 @@ class TestCocoVID:
         # each shard starts at a frame_id==0 boundary
         for s in splits:
             assert ds.data_infos[s[0]]["frame_id"] == 0
+
+
+class TestPrefetch:
+    def test_order_and_completion(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.data.prefetch import (
+            prefetch,
+        )
+
+        out = list(prefetch(iter(range(20)), buffer_size=4))
+        assert out == list(range(20))
+
+    def test_overlap(self):
+        import time
+
+        from lowlightenvironmentvideoobjectdetection_tpu.data.prefetch import (
+            prefetch,
+        )
+
+        def slow_src():
+            for i in range(5):
+                time.sleep(0.05)
+                yield i
+
+        it = prefetch(slow_src(), buffer_size=4)
+        time.sleep(0.15)  # let the worker pre-produce
+        t0 = time.perf_counter()
+        first_three = [next(it), next(it), next(it)]
+        dt = time.perf_counter() - t0
+        assert first_three == [0, 1, 2]
+        assert dt < 0.05  # already buffered -> near-instant
+
+    def test_error_propagates(self):
+        import pytest as _pytest
+
+        from lowlightenvironmentvideoobjectdetection_tpu.data.prefetch import (
+            prefetch,
+        )
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(bad())
+        assert next(it) == 1
+        with _pytest.raises(ValueError):
+            for _ in it:
+                pass

@@ -232,6 +232,10 @@ def main():
                 yield jax.tree_util.tree_map(lambda x: x[None], b)
         it = data_iter()
     else:
+        from lowlightenvironmentvideoobjectdetection_tpu.data.prefetch import (
+            prefetch,
+        )
+
         raw = dataset_iterator(cfg, model)
 
         def data_iter():
@@ -242,7 +246,8 @@ def main():
                 b = TrainBatch(d["imgs"], d["img_shape"], d["gt_boxes"],
                                d["gt_labels"], d["gt_valid"])
                 yield jax.tree_util.tree_map(lambda x: x[None], b)
-        it = data_iter()
+        # background thread keeps batches ready while the device steps
+        it = prefetch(data_iter(), buffer_size=2)
 
     t0 = time.perf_counter()
     state = train_model(
