@@ -36,10 +36,16 @@ def result_to_per_class(dets, num_classes: int) -> List[np.ndarray]:
 
 
 class VIDModel:
-    """A built video detector + its compiled streaming step (init_model)."""
+    """A built video detector + its compiled streaming step (init_model).
+
+    ``ref_method``: 'adaptive' keeps the frame-0 reference memo for the whole
+    video (test_with_adaptive_stride, coco_video_dataset.py:198-203); 'fix'
+    rolls the memo with each streamed frame's own features
+    (test_with_fix_stride, :204-218).
+    """
 
     def __init__(self, model_type: str = "SELSA", params=None, rng_seed: int = 0,
-                 **model_kwargs):
+                 ref_method: str = "adaptive", **model_kwargs):
         from ..models.vid import selsa as S
 
         self.model, self.anchors = MODELS.build(
@@ -52,12 +58,17 @@ class VIDModel:
         self.params = params
         self._S = S
         self.state = None
+        assert ref_method in ("adaptive", "fix"), ref_method
+        self.ref_method = ref_method
 
         # params/anchors are jit arguments (closures would bake the weights
         # into the HLO as constants — fatal on remote-compile TPU tunnels)
+        update = ref_method == "fix"
+
         def step(params, anchors, state, frame, img_shape, sf):
             return S.inference_step(
-                self.model, params, state, frame, img_shape, sf, anchors
+                self.model, params, state, frame, img_shape, sf, anchors,
+                update_memo=update,
             )
 
         self._step_fn = jax.jit(step)
