@@ -45,7 +45,8 @@ class VIDModel:
     """
 
     def __init__(self, model_type: str = "SELSA", params=None, rng_seed: int = 0,
-                 ref_method: str = "adaptive", **model_kwargs):
+                 ref_method: str = "adaptive", frame_stride: int = 1,
+                 **model_kwargs):
         from ..models.vid import selsa as S
 
         self.model, self.anchors = MODELS.build(
@@ -60,20 +61,24 @@ class VIDModel:
         self.state = None
         assert ref_method in ("adaptive", "fix"), ref_method
         self.ref_method = ref_method
+        # fix-stride mode rolls the memo every `frame_stride` frames
+        # (coco_video_dataset.py:204-218 sets frame_stride meta; selsa.py:256)
+        self.frame_stride = max(int(frame_stride), 1)
 
         # params/anchors are jit arguments (closures would bake the weights
         # into the HLO as constants — fatal on remote-compile TPU tunnels)
         update = ref_method == "fix"
 
-        def step(params, anchors, state, frame, img_shape, sf):
+        def step(params, anchors, state, frame, img_shape, sf, do_update):
             return S.inference_step(
                 self.model, params, state, frame, img_shape, sf, anchors,
-                update_memo=update,
+                update_memo=update, do_update=do_update,
             )
 
         self._step_fn = jax.jit(step)
-        self._step = lambda state, frame, img_shape, sf: self._step_fn(
-            self.params, self.anchors, state, frame, img_shape, sf
+        self._step = lambda state, frame, img_shape, sf, do=True: self._step_fn(
+            self.params, self.anchors, state, frame, img_shape, sf,
+            jnp.asarray(do),
         )
 
     def inference_vid(self, frame: np.ndarray, frame_id: int,
@@ -94,9 +99,61 @@ class VIDModel:
             self.state = self._S.init_video_state(
                 self.model, self.params, ref_imgs, img_shape, self.anchors
             )
+        do = (self.ref_method != "fix"
+              or frame_id % self.frame_stride == 0)
         self.state, dets = self._step(
-            self.state, imgs[0], img_shape, jnp.asarray(sf)
+            self.state, imgs[0], img_shape, jnp.asarray(sf), do
         )
+        return dict(bbox_results=result_to_per_class(dets, cfg.num_classes))
+
+    def _pad_prepared(self, img: np.ndarray) -> np.ndarray:
+        """Pad an already resized+normalized pipeline image to the static
+        bucket, keeping only the model's input channels (the noisy half of a
+        6/8-ch pair — the reference streams the noisy branch at test time,
+        selsa_darkfarm_detect.py:215+)."""
+        cfg = self.cfg
+        c = img.shape[-1] if img.ndim == 3 else 1
+        keep = min(c, 3)
+        canvas = np.zeros((cfg.pad_h, cfg.pad_w, keep), np.float32)
+        h = min(img.shape[0], cfg.pad_h)
+        w = min(img.shape[1], cfg.pad_w)
+        canvas[:h, :w] = img[:h, :w, :keep]
+        return canvas
+
+    def inference_vid_prepared(
+        self,
+        img: np.ndarray,
+        img_shape=None,
+        scale_factor=None,
+        frame_id: int = 0,
+        ref_imgs: Optional[np.ndarray] = None,
+    ) -> Dict:
+        """Streaming API over PIPELINE-PREPARED images: the test pipeline has
+        already resized/brightened/normalized (Resize/Brighten/Normalize),
+        so only the static-bucket pad happens here. ``scale_factor`` (from
+        the pipeline's Resize) maps detections back to original coordinates
+        (rescale=True). ``ref_imgs``: [S, h, w, C] prepared reference frames
+        at frame 0 (test_with_adaptive_stride output)."""
+        cfg = self.cfg
+        canvas = self._pad_prepared(img)
+        if img_shape is None:
+            img_shape = img.shape[:2]
+        shape = jnp.asarray([float(img_shape[0]), float(img_shape[1])])
+        if scale_factor is None:
+            scale_factor = np.ones((4,), np.float32)
+        sf = jnp.asarray(np.asarray(scale_factor, np.float32))
+        if frame_id == 0:
+            if ref_imgs is None:
+                refs = np.repeat(canvas[None], cfg.num_ref_frames, axis=0)
+            else:
+                refs = np.stack([self._pad_prepared(r) for r in ref_imgs])
+            self.state = self._S.init_video_state(
+                self.model, self.params, jnp.asarray(refs), shape, self.anchors
+            )
+        do = (self.ref_method != "fix"
+              or frame_id % self.frame_stride == 0)
+        self.state, dets = self._step(self.state, jnp.asarray(canvas), shape,
+                                      sf, do)
         return dict(bbox_results=result_to_per_class(dets, cfg.num_classes))
 
 
@@ -105,7 +162,19 @@ def init_model(model_type: str = "SELSA", checkpoint=None, **kwargs) -> VIDModel
     if checkpoint is not None:
         from ..utils.checkpoint import load_checkpoint
 
-        m.params = load_checkpoint(checkpoint)
+        params = load_checkpoint(checkpoint)  # unwraps TrainState trees
+        # a darkfarm-family checkpoint nests the detector under 'selsa'
+        # (+ 'cleaner'/'aggregator' siblings); slice it out when this model
+        # is the plain streaming SELSA detector
+        if isinstance(params, dict):
+            own_has = any(isinstance(t, dict) and "selsa" in t
+                          for t in m.params.values())
+            ckpt_has = any(isinstance(t, dict) and "selsa" in t
+                           for t in params.values())
+            if ckpt_has and not own_has:
+                params = {coll: tree["selsa"] for coll, tree in params.items()
+                          if isinstance(tree, dict) and "selsa" in tree}
+        m.params = params
     return m
 
 

@@ -40,10 +40,13 @@ class TrainLoop:
     ) -> TrainState:
         step_fn = self.trainer.make_step()
         t0 = time.perf_counter()
+        start_step = int(state.step)
         for i, batch in enumerate(data_iter):
             if i >= num_steps:
                 break
-            rng, sub = jax.random.split(rng)
+            # derive the step rng from the GLOBAL step so a resumed run
+            # replays the identical stream (bit-exact resume)
+            sub = jax.random.fold_in(rng, start_step + i)
             state, metrics = step_fn(state, batch, sub)
             if (i + 1) % self.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -74,14 +77,39 @@ def train_model(
     iters_per_epoch: int = 1000,
     n_devices: Optional[int] = None,
     seed: int = 0,
+    resume_from: Optional[str] = None,
     **loop_kwargs,
 ) -> TrainState:
-    """One-call training entry (apis/train.py train_model shape)."""
+    """One-call training entry (apis/train.py train_model shape).
+
+    ``resume_from`` restores the FULL TrainState — params, optimizer
+    momentum, and step (so the LR schedule continues where it left off) —
+    matching the reference's ``runner.resume()``
+    (mmtrack/apis/train.py:131-134). A bare-variables checkpoint warm-starts
+    params only."""
     mesh = create_mesh(n_devices)
     opt = make_optimizer(
         variables, lr=make_lr_schedule(base_lr, iters_per_epoch=iters_per_epoch)
     )
     trainer = Trainer(loss_fn=loss_fn, optimizer=opt, mesh=mesh)
     state = trainer.init_state(variables)
+    if resume_from:
+        from ..utils.checkpoint import load_checkpoint
+
+        try:
+            restored = load_checkpoint(resume_from, target=state, unwrap=False)
+        except Exception:
+            # structure mismatch (e.g. a bare-variables checkpoint):
+            # restore without a target and sort it out below
+            restored = load_checkpoint(resume_from, unwrap=False)
+        if (isinstance(restored, TrainState)
+                or (hasattr(restored, "opt_state") and hasattr(restored, "step"))):
+            state = TrainState(restored.params, restored.opt_state,
+                               restored.step)
+        elif isinstance(restored, dict) and "opt_state" in restored:
+            state = TrainState(restored["params"], restored["opt_state"],
+                               restored["step"])
+        else:  # bare variables tree: params-only warm start
+            state = trainer.init_state(restored)
     loop = TrainLoop(trainer=trainer, **loop_kwargs)
     return loop.run(state, data_iter, num_steps, jax.random.PRNGKey(seed))

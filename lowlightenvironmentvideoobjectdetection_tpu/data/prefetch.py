@@ -27,6 +27,7 @@ class PrefetchIterator:
         self._err: Optional[BaseException] = None
         self._lock = threading.Lock()
         self._done = False
+        self._sentinels = 0
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(num_threads)
@@ -54,13 +55,19 @@ class PrefetchIterator:
     def __next__(self):
         if self._done:
             raise StopIteration
-        item = self._q.get()
-        if item is self._SENTINEL:
-            self._done = True
-            if self._err is not None:
-                raise self._err
-            raise StopIteration
-        return item
+        # with num_threads > 1, one worker may hit StopIteration (and enqueue
+        # its sentinel) while others still have items in flight behind it —
+        # stop only after ALL workers have signalled, so no item is lost
+        while True:
+            item = self._q.get()
+            if item is not self._SENTINEL:
+                return item
+            self._sentinels += 1
+            if self._sentinels >= len(self._threads):
+                self._done = True
+                if self._err is not None:
+                    raise self._err
+                raise StopIteration
 
 
 def prefetch(it: Iterable, buffer_size: int = 2) -> PrefetchIterator:

@@ -176,10 +176,13 @@ def detr_loss(cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid,
     is_matched_gt = gt_valid & (matched_q >= 0)
     safe_q = jnp.clip(matched_q, 0, qn - 1)
 
-    # classification: matched queries get their gt class, rest background (C)
+    # classification: matched queries get their gt class, rest background (C).
+    # Unmatched/padded gts scatter to the out-of-range index qn (dropped) —
+    # clipping them to 0 would write a conflicting background label onto
+    # query 0 whenever it is genuinely matched.
     tgt = jnp.full((qn,), num_classes, jnp.int32)
-    tgt = tgt.at[safe_q].set(
-        jnp.where(is_matched_gt, safe_labels, num_classes), mode="drop")
+    q_idx = jnp.where(is_matched_gt, safe_q, qn)
+    tgt = tgt.at[q_idx].set(safe_labels, mode="drop")
     logp = jax.nn.log_softmax(cls_logits)
     # DETR down-weights background CE by 0.1 (eos_coef)
     wvec = jnp.where(tgt == num_classes, 0.1, 1.0)

@@ -328,12 +328,19 @@ def inference_step(
     scale_factor,
     anchors,
     update_memo: bool = False,
+    do_update=True,
 ) -> Tuple[VideoState, Any]:
     """One streamed frame: [H, W, 3] -> (new_state, DetResult).
 
-    With ``update_memo=True`` the frame's own reference activations replace
-    the oldest memo slot (fix-stride mode); otherwise the memo is static
-    (adaptive-stride mode).
+    The CURRENT frame's reference activations are concatenated into the
+    attention reference set, exactly as the reference test path does in both
+    adaptive and fix-stride modes (mmtrack selsa.py:222-223, :256).
+
+    With ``update_memo=True`` (fix-stride mode) the frame's reference
+    activations also replace the oldest memo slot — but only when
+    ``do_update`` (a traced bool) is set, so the caller can gate the roll on
+    ``frame_id % frame_stride == 0`` (selsa.py:256, fix-stride schedule)
+    without recompiling.
     """
     cfg = model.cfg
     _, neck_feat = model.apply(params, frame[None], method=SelsaDetector.extract_feat)
@@ -348,8 +355,13 @@ def inference_step(
         jnp.zeros((props.boxes.shape[0],), jnp.int32),
         method=SelsaDetector.roi_feats,
     )
-    ref_stages = tuple(st.reshape(-1, st.shape[-1]) for st in state.ref_fc)
-    ref_mask = state.ref_valid.reshape(-1)
+    cur_stages = model.apply(params, rfeats, method=SelsaDetector.ref_transform)
+    ref_stages = tuple(
+        jnp.concatenate([buf.reshape(-1, buf.shape[-1]),
+                         cs.astype(buf.dtype)], axis=0)
+        for buf, cs in zip(state.ref_fc, cur_stages)
+    )
+    ref_mask = jnp.concatenate([state.ref_valid.reshape(-1), props.valid])
     cls_score, bbox_pred = model.apply(
         params, rfeats, ref_stages, ref_mask,
         method=SelsaDetector.bbox_forward_cached,
@@ -360,15 +372,19 @@ def inference_step(
     )
 
     if update_memo:
-        stages = model.apply(params, rfeats, method=SelsaDetector.ref_transform)
+        do = jnp.asarray(do_update, bool)
         slot = state.next_slot
         new_fc = tuple(
-            buf.at[slot].set(st) for buf, st in zip(state.ref_fc, stages)
+            jnp.where(do, buf.at[slot].set(st.astype(buf.dtype)), buf)
+            for buf, st in zip(state.ref_fc, cur_stages)
         )
-        new_valid = state.ref_valid.at[slot].set(props.valid)
-        state = VideoState(
-            new_fc, new_valid, (slot + 1) % state.ref_valid.shape[0]
+        new_valid = jnp.where(
+            do, state.ref_valid.at[slot].set(props.valid), state.ref_valid
         )
+        new_slot = jnp.where(
+            do, (slot + 1) % state.ref_valid.shape[0], slot
+        ).astype(slot.dtype)
+        state = VideoState(new_fc, new_valid, new_slot)
     return state, dets
 
 

@@ -33,18 +33,29 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def frozen_mask(params, frozen_prefixes=("backbone/conv1", "backbone/bn1",
-                                          "backbone/layer1")) -> Any:
-    """Pytree mask: True = trainable. Matches the reference's frozen stem +
-    stage 1 (frozen_stages=1)."""
+FROZEN_PREFIXES = ("backbone/conv1", "backbone/bn1", "backbone/layer1",
+                   "cleaner")
+
+
+def frozen_mask(params, frozen_prefixes=FROZEN_PREFIXES) -> Any:
+    """Pytree mask: True = trainable.
+
+    Matches the reference's frozen stem + stage 1 (``frozen_stages=1``) AND
+    the frozen cleaner teacher (mmtrack/models/vid/base.py:39-52
+    ``freeze_module('cleaner')`` — requires_grad=False there means the
+    parameters never move at all, including under weight decay). Prefixes
+    match at ANY depth, so nested trees like ``selsa/backbone/conv1`` and
+    ``cleaner/...`` are caught."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def trainable(path):
-        keys = "/".join(
+        keys = "/" + "/".join(
             p.key for p in path if isinstance(p, jax.tree_util.DictKey)
         )
-        return not any(keys.startswith("params/" + f) or keys.startswith(f)
-                       for f in frozen_prefixes)
+        # prefix match at a path-segment boundary, at ANY depth: 'backbone/
+        # layer1' catches 'selsa/backbone/layer1_0/conv1' (flax flattens
+        # block indices into the stage name)
+        return not any(f"/{f}" in keys for f in frozen_prefixes)
 
     leaves = {jax.tree_util.keystr(p): trainable(p) for p, _ in flat}
     return jax.tree_util.tree_map_with_path(
@@ -81,12 +92,23 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     grad_clip_norm: float = 35.0,
+    frozen_prefixes: Tuple[str, ...] = FROZEN_PREFIXES,
 ) -> optax.GradientTransformation:
-    mask = frozen_mask(params)
+    """SGD + momentum + masked weight decay + grad clip.
+
+    Frozen subtrees (stem/stage-1, cleaner teacher) are masked out of BOTH
+    weight decay and the final update — reference semantics are
+    requires_grad=False, i.e. the parameter never changes at all
+    (mmtrack/models/vid/base.py:39-52). stop_gradient alone only zeroes
+    grads; wd would still decay the distillation target toward zero."""
+    mask = frozen_mask(params, frozen_prefixes)
+    frozen = jax.tree_util.tree_map(lambda t: not t, mask)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
         optax.masked(optax.add_decayed_weights(weight_decay), mask),
         optax.sgd(learning_rate=lr, momentum=momentum),
+        # hard-zero the update on frozen leaves: bit-identical params forever
+        optax.masked(optax.set_to_zero(), frozen),
     )
 
 

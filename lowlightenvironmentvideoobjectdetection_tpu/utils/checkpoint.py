@@ -39,14 +39,37 @@ def save_checkpoint(directory: str, state: Any, step: int = 0) -> str:
     return path
 
 
-def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+def _unwrap_train_state(tree: Any) -> Any:
+    """A TrainState checkpoint ({params, opt_state, step}) holds the model
+    variables under 'params'; a bare variables tree is returned as-is. All
+    variable consumers (init_model, tools/test.py, extract_checkpoints) want
+    the variables, so load_checkpoint unwraps by default."""
+    if isinstance(tree, dict) and "opt_state" in tree and "params" in tree:
+        return tree["params"]
+    # orbax may restore NamedTuples as dicts keyed by field name; TrainState
+    # restored with a target keeps the NamedTuple type
+    if hasattr(tree, "opt_state") and hasattr(tree, "params"):
+        return tree.params
+    return tree
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None,
+                    unwrap: bool = True) -> Any:
+    """Restore a checkpoint. With ``unwrap`` (default) a full-TrainState
+    checkpoint is reduced to its variables tree — the natural train-then-test
+    flow (tools/test.py --checkpoint work_dirs/step_N) then just works.
+    Pass ``unwrap=False`` (and usually a ``target``) to restore the full
+    optimizer state for resume."""
     if _HAVE_ORBAX and not os.path.exists(os.path.join(path, "state.pkl")):
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, target) if target is not None else ckptr.restore(path)
-    import pickle
+        restored = (ckptr.restore(path, target) if target is not None
+                    else ckptr.restore(path))
+    else:
+        import pickle
 
-    with open(os.path.join(path, "state.pkl"), "rb") as f:
-        return pickle.load(f)
+        with open(os.path.join(path, "state.pkl"), "rb") as f:
+            restored = pickle.load(f)
+    return _unwrap_train_state(restored) if unwrap else restored
 
 
 def extract_submodule(variables: Dict, submodule: str) -> Dict:

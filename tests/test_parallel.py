@@ -84,6 +84,60 @@ class TestTrainer:
         assert m["params"]["backbone"]["layer2_0"]["conv1"]["kernel"]
         assert m["params"]["rpn_head"]["conv"]["kernel"]
 
+    def test_frozen_mask_matches_nested_trees(self):
+        """Darkfarm-shaped trees: selsa/backbone/* and cleaner/* must be
+        caught at any depth (reference requires_grad=False semantics)."""
+        fake = {"params": {
+            "selsa": {"backbone": {"conv1": {"kernel": jnp.zeros(1)},
+                                   "layer1_0": {"bn": {"scale": jnp.zeros(1)}},
+                                   "layer3_0": {"conv1": {"kernel": jnp.zeros(1)}}},
+                      "rpn_head": {"conv": {"kernel": jnp.zeros(1)}}},
+            "cleaner": {"layer2_0": {"conv1": {"kernel": jnp.zeros(1)}}},
+        }}
+        m = frozen_mask(fake)
+        assert not m["params"]["selsa"]["backbone"]["conv1"]["kernel"]
+        assert not m["params"]["selsa"]["backbone"]["layer1_0"]["bn"]["scale"]
+        assert m["params"]["selsa"]["backbone"]["layer3_0"]["conv1"]["kernel"]
+        assert m["params"]["selsa"]["rpn_head"]["conv"]["kernel"]
+        assert not m["params"]["cleaner"]["layer2_0"]["conv1"]["kernel"]
+
+    def test_frozen_params_bit_identical_under_training(self):
+        """Weight decay + momentum must never move frozen subtrees: the
+        cleaner teacher and stem stay BIT-identical over many steps
+        (the reference's requires_grad=False params never update,
+        mmtrack/models/vid/base.py:39-52)."""
+        def loss(variables, batch_elem, rng):
+            p = variables["params"]
+            w = p["w"] + p["cleaner"]["t"].sum() * 0.0
+            pred = batch_elem["x"] @ w
+            # cleaner participates with a REAL gradient: optimizer must
+            # still hold it still
+            l = jnp.mean((pred - batch_elem["y"]) ** 2) + jnp.sum(
+                p["cleaner"]["t"] ** 2) + jnp.sum(
+                p["backbone"]["conv1"]["k"] ** 2)
+            return l, {"loss": l}
+
+        variables = {"params": {
+            "w": jnp.ones((16, 4)) * 0.1,
+            "cleaner": {"t": jnp.full((5,), 0.7)},
+            "backbone": {"conv1": {"k": jnp.full((3,), -0.3)}},
+        }}
+        opt = make_optimizer(variables, lr=0.05, weight_decay=1e-2)
+        tr = Trainer(loss_fn=loss, optimizer=opt, mesh=create_mesh())
+        state = tr.init_state(jax.tree.map(jnp.copy, variables))
+        step = tr.make_step()
+        batch = _batch(8)
+        for i in range(100):
+            state, _ = step(state, batch, jax.random.PRNGKey(i))
+        got = state.params["params"]
+        np.testing.assert_array_equal(np.asarray(got["cleaner"]["t"]),
+                                      np.full((5,), 0.7, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(got["backbone"]["conv1"]["k"]),
+            np.full((3,), -0.3, np.float32))
+        # trainable weight did move
+        assert not np.allclose(np.asarray(got["w"]), 0.1)
+
     def test_lr_schedule_warmup_and_steps(self):
         sched = make_lr_schedule(base_lr=0.01, warmup_iters=100,
                                  warmup_ratio=1 / 3, step_epochs=(2, 5),

@@ -29,6 +29,10 @@ def parse_args():
                    help="evaluate on N synthetic frames instead of a dataset")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--out", default=None, help="dump results json")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="whole-video shards (DistributedVideoSampler split)")
+    p.add_argument("--shard", type=int, default=None,
+                   help="run only this shard (default: all, in order)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -59,6 +63,16 @@ def main():
         mcfg.pop("loss_type", None)
         mcfg.pop("in_channels", None)
         mtype = "SELSA"
+
+    # ref method from the test dataset's sampler config
+    sampler = (cfg["data"].get("test") or {}).get("ref_img_sampler") or {}
+    method = sampler.get("method", "test_with_adaptive_stride")
+    if method == "test_with_fix_stride":
+        mcfg.setdefault("ref_method", "fix")
+        mcfg.setdefault("frame_stride", sampler.get("stride", 1))
+        fr = sampler.get("frame_range", [-7, 7])
+        mcfg.setdefault("num_ref_frames",
+                        abs(fr[0]) + fr[1] if isinstance(fr, list) else 14)
     model = init_model(model_type=mtype, checkpoint=args.checkpoint, **mcfg)
 
     results = []
@@ -74,6 +88,9 @@ def main():
                      num_dets=int(sum(len(x) for x in r["bbox_results"])))
             )
     else:
+        from lowlightenvironmentvideoobjectdetection_tpu.apis.test import (
+            multi_device_test,
+        )
         from lowlightenvironmentvideoobjectdetection_tpu.data.datasets import (
             DarkFarmVIDDataset, ImagenetVIDDataset,
         )
@@ -84,22 +101,20 @@ def main():
         dcfg = cfg["data"]["test"]
         ds_cls = {"ImagenetVIDDataset": ImagenetVIDDataset,
                   "DarkFarmVIDDataset": DarkFarmVIDDataset}[dcfg["type"]]
+        # the configured ref sampler makes frame 0 carry the adaptive/fix
+        # stride reference infos the memo is built from
         ds = ds_cls(ann_file=dcfg["ann_file"],
-                    img_prefix=dcfg.get("img_prefix", ""), test_mode=True)
+                    img_prefix=dcfg.get("img_prefix", ""), test_mode=True,
+                    ref_img_sampler=dict(dcfg.get("ref_img_sampler") or {})
+                    or None)
         pipe = Compose(dcfg["pipeline"])
-        annotations = []
-        det_lists = []
-        for i in range(len(ds)):
-            s = ds[i]
-            r = pipe(dict(img_info=s["img_info"], ann=s["ann"],
-                          img_prefix=ds.img_prefix))
-            fid = s["img_info"].get("frame_id", i)
-            out = model.inference_vid(np.asarray(r["img"], np.float32), fid)
-            det_lists.append(out["bbox_results"])
-            annotations.append(dict(bboxes=s["ann"]["bboxes"],
-                                    labels=s["ann"]["labels"]))
-            results.append(dict(frame_id=fid, bbox_results=[
-                b.tolist() for b in out["bbox_results"]]))
+        det_lists, annotations, indices = multi_device_test(
+            model, ds, pipe, num_shards=args.num_shards, shard=args.shard,
+        )
+        for i, d in zip(indices, det_lists):
+            fid = ds.data_infos[i].get("frame_id", i)
+            results.append(dict(frame_id=fid,
+                                bbox_results=[b.tolist() for b in d]))
     dt = time.perf_counter() - t0
     fps = len(results) / dt if dt > 0 else 0.0
     summary = dict(frames=len(results), fps=round(fps, 2), eval=args.eval)

@@ -50,10 +50,15 @@ DARKFARM_TYPES = {
     "LLVOD", "DarkDetect", "SelsaDarkDetect", "SelsaNewDetect",
     "SelsaNewVIDDetect",
 }
+# oracle baselines train on the CLEAN half of the pair
+# (reference selsa_clean_detect.py / selsa_clean_darkfarm_detect.py)
+CLEAN_TYPES = {"SelsaCleanDetect", "SelsaCleanDarkfarmDetect"}
 
 
 def build_system(cfg, tiny: bool):
-    """Returns (model, anchors, loss_fn, make_synthetic_batch)."""
+    """Returns (model, anchors, loss_fn, make_synthetic_batch, make_batch)
+    where make_batch converts a dataset_iterator dict into the family's
+    batch type (DarkfarmBatch / FastDVDBatch / TrainBatch)."""
     import jax
     import jax.numpy as jnp
 
@@ -74,9 +79,11 @@ def build_system(cfg, tiny: bool):
 
         c = model.cfg.in_channels
         scfg = model.cfg.selsa
+        branch = "clean" if mtype in CLEAN_TYPES else "noise"
 
         def loss_fn(variables, batch, rng):
-            return darkfarm_loss(model, variables, batch, rng, anchors)
+            return darkfarm_loss(model, variables, batch, rng, anchors,
+                                 branch=branch)
 
         def synth(rng):
             return DarkfarmBatch(
@@ -88,6 +95,18 @@ def build_system(cfg, tiny: bool):
                 gt_labels=jnp.asarray([1] * 4, jnp.int32),
                 gt_valid=jnp.asarray([True, True, False, False]),
             )
+
+        def make_batch(d):
+            imgs = d["imgs"]
+            if imgs.shape[-1] == c:  # clean pair missing: duplicate (noise,
+                # noise) so the pair contract holds (only meaningful for
+                # the no-cleaner noise variants)
+                imgs = jnp.concatenate([imgs, imgs], axis=-1)
+            assert imgs.shape[-1] == 2 * c, (
+                f"darkfarm pipeline must emit {2 * c}-channel pairs, got "
+                f"{imgs.shape[-1]} channels")
+            return DarkfarmBatch(imgs, d["img_shape"], d["gt_boxes"],
+                                 d["gt_labels"], d["gt_valid"])
     elif mtype == "SelsaFastDVDnetDetect":
         from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa_fastdvd import (
             FastDVDBatch, fastdvd_selsa_loss,
@@ -108,6 +127,13 @@ def build_system(cfg, tiny: bool):
                 gt_labels=jnp.asarray([1] * 4, jnp.int32),
                 gt_valid=jnp.asarray([True, True, False, False]),
             )
+
+        def make_batch(d):
+            imgs = d["imgs"]
+            if imgs.shape[-1] == 3:
+                imgs = jnp.concatenate([imgs, imgs], axis=-1)
+            return FastDVDBatch(imgs, d["img_shape"], d["gt_boxes"],
+                                d["gt_labels"], d["gt_valid"])
     else:  # SELSA / FGFA / DFF / FasterRCNN families
         from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
             TrainBatch, selsa_loss,
@@ -129,7 +155,14 @@ def build_system(cfg, tiny: bool):
                 gt_valid=jnp.asarray([True, True, False, False]),
             )
 
-    return model, anchors, loss_fn, synth
+        def make_batch(d):
+            imgs = d["imgs"]
+            if imgs.shape[-1] > 3:  # pair pipeline feeding a plain model:
+                imgs = imgs[..., :3]  # stream the noisy half
+            return TrainBatch(imgs, d["img_shape"], d["gt_boxes"],
+                              d["gt_labels"], d["gt_valid"])
+
+    return model, anchors, loss_fn, synth, make_batch
 
 
 def dataset_iterator(cfg, model, max_gts: int = 32):
@@ -180,6 +213,57 @@ def dataset_iterator(cfg, model, max_gts: int = 32):
                        gt_valid=jnp.asarray(val))
 
 
+def make_eval_fn(cfg, vcfg, train_model_obj, tiny: bool):
+    """EvalHook equivalent: periodic val-split mAP through the streaming
+    path, fed with the CURRENT train params (darkfarm trees are sliced to
+    their `selsa` detector subtree)."""
+    import jax.numpy as jnp
+
+    from lowlightenvironmentvideoobjectdetection_tpu.apis.inference import (
+        VIDModel,
+    )
+    from lowlightenvironmentvideoobjectdetection_tpu.apis.test import (
+        evaluate_bbox, single_device_test,
+    )
+    from lowlightenvironmentvideoobjectdetection_tpu.data.datasets import (
+        DarkFarmVIDDataset, ImagenetVIDDataset,
+    )
+    from lowlightenvironmentvideoobjectdetection_tpu.data.pipelines import (
+        Compose,
+    )
+
+    mcfg = dict(cfg["model"])
+    mtype = mcfg.pop("type")
+    if mtype not in ("SELSA", "FGFA", "DFF", "FasterRCNN"):
+        mcfg["out_indices"] = (3,)
+        mcfg.pop("loss_type", None)
+        mcfg.pop("in_channels", None)
+        mtype = "SELSA"
+    if tiny:
+        mcfg.update(TINY_KW)
+        mcfg["compute_dtype"] = jnp.float32
+    vid = VIDModel(model_type=mtype, **mcfg)
+
+    ds_cls = {"ImagenetVIDDataset": ImagenetVIDDataset,
+              "DarkFarmVIDDataset": DarkFarmVIDDataset}[vcfg["type"]]
+    ds = ds_cls(ann_file=vcfg["ann_file"], img_prefix=vcfg.get("img_prefix", ""),
+                test_mode=True,
+                ref_img_sampler=dict(vcfg.get("ref_img_sampler") or {}) or None)
+    pipe = Compose(vcfg["pipeline"])
+
+    def eval_fn(state):
+        params = state.params
+        if isinstance(params, dict) and any(
+                isinstance(t, dict) and "selsa" in t for t in params.values()):
+            params = {coll: tree["selsa"] for coll, tree in params.items()
+                      if isinstance(tree, dict) and "selsa" in tree}
+        vid.params = params
+        det_lists, annotations = single_device_test(vid, ds, pipe)
+        return evaluate_bbox(det_lists, annotations)
+
+    return eval_fn
+
+
 def main():
     args = parse_args()
     from lowlightenvironmentvideoobjectdetection_tpu.config import (
@@ -191,7 +275,7 @@ def main():
 
     import jax
 
-    model, anchors, loss_fn, synth = build_system(cfg, args.tiny)
+    model, anchors, loss_fn, synth, make_batch = build_system(cfg, args.tiny)
     work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs")
     os.makedirs(work_dir, exist_ok=True)
 
@@ -206,18 +290,6 @@ def main():
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, 64, 64, in_ch), jnp.float32),
     )
-    if args.resume_from:
-        from lowlightenvironmentvideoobjectdetection_tpu.utils.checkpoint import (
-            load_checkpoint,
-        )
-
-        restored = load_checkpoint(args.resume_from)
-        # a TrainState checkpoint restores as {params, opt_state, step};
-        # a bare variables tree restores as {params, batch_stats}
-        if isinstance(restored, dict) and "opt_state" in restored:
-            variables = restored["params"]
-        else:
-            variables = restored
 
     steps = args.steps or cfg.get("total_epochs", 7) * 1000
     opt_cfg = cfg.get("optimizer", {})
@@ -239,15 +311,22 @@ def main():
         raw = dataset_iterator(cfg, model)
 
         def data_iter():
-            from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
-                TrainBatch,
-            )
             for d in raw:
-                b = TrainBatch(d["imgs"], d["img_shape"], d["gt_boxes"],
-                               d["gt_labels"], d["gt_valid"])
+                b = make_batch(d)
                 yield jax.tree_util.tree_map(lambda x: x[None], b)
         # background thread keeps batches ready while the device steps
         it = prefetch(data_iter(), buffer_size=2)
+
+    # periodic eval (EvalHook equivalent, eval_hooks.py:7-43): runs the val
+    # split through the streaming path every `evaluation.interval` units
+    eval_cfg = cfg.get("evaluation") or {}
+    eval_fn = None
+    eval_interval = 0
+    vcfg = (cfg.get("data") or {}).get("val") or (cfg.get("data") or {}).get("test")
+    if eval_cfg.get("interval") and vcfg and os.path.exists(
+            vcfg.get("ann_file", "")):
+        eval_interval = int(eval_cfg["interval"])
+        eval_fn = make_eval_fn(cfg, vcfg, model, args.tiny)
 
     t0 = time.perf_counter()
     state = train_model(
@@ -255,6 +334,9 @@ def main():
         base_lr=opt_cfg.get("lr", 0.01),
         checkpoint_dir=work_dir,
         log_interval=cfg.get("log_config", {}).get("interval", 50),
+        resume_from=args.resume_from,
+        eval_fn=eval_fn,
+        eval_interval=eval_interval,
     )
     dt = time.perf_counter() - t0
     log = dict(config=args.config, steps=int(state.step),
