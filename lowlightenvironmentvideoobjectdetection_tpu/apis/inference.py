@@ -228,4 +228,70 @@ def inference_mot(model, img: np.ndarray, frame_id: int) -> Dict:
     imgs, img_shape, sf = prepare_frames(
         img[None], model.detector.cfg.pad_h, model.detector.cfg.pad_w
     )
-    return model.track_frame(frame_id, imgs[0], np.asarray(img_shape))
+    return model.track_frame(frame_id, imgs[0], np.asarray(img_shape),
+                             raw_img=img) \
+        if type(model).__name__ == "Tracktor" else \
+        model.track_frame(frame_id, imgs[0], np.asarray(img_shape))
+
+
+class SOTModel:
+    """A built SiamRPN++ tracker + its compiled per-frame step.
+
+    Mirrors mmtrack's ``init_model`` + ``inference_sot``
+    (mmtrack/apis/inference.py:96-135): ``inference_sot(model, img,
+    init_bbox, frame_id)`` initializes the template at frame 0 and tracks
+    afterwards, returning ``dict(track_bboxes=[x1, y1, x2, y2, score])``."""
+
+    def __init__(self, params=None, rng_seed: int = 0, **model_kwargs):
+        import jax
+
+        from ..models.sot import siamrpn as S
+
+        self._S = S
+        self.cfg = S.SiamRPNConfig(**model_kwargs)
+        self.model = S.SiamRPN(cfg=self.cfg)
+        if params is None:
+            z = jnp.zeros((1, self.cfg.exemplar_size, self.cfg.exemplar_size, 3))
+            x = jnp.zeros((1, self.cfg.search_size, self.cfg.search_size, 3))
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(rng_seed), z, x)
+        self.params = params
+        # score-map size via one traced head pass
+        z = jnp.zeros((1, self.cfg.exemplar_size, self.cfg.exemplar_size, 3))
+        x = jnp.zeros((1, self.cfg.search_size, self.cfg.search_size, 3))
+        cls, _ = jax.eval_shape(lambda p: self.model.apply(p, z, x), self.params)
+        score_size = cls.shape[0]
+        self.anchors = jnp.asarray(S.sot_grid_anchors(self.cfg, score_size))
+        self.window = jnp.asarray(
+            S.hanning_window(score_size, self.cfg.num_anchors))
+        self.state = None
+
+        self._track = jax.jit(
+            lambda params, state, img, anchors, window: S.sot_track(
+                self.model, params, state, img, anchors, window))
+
+    def inference_sot(self, img: np.ndarray, init_bbox, frame_id: int) -> Dict:
+        img = jnp.asarray(np.asarray(img, np.float32))
+        if frame_id == 0:
+            self.state = self._S.sot_init(self.model, self.params, img,
+                                          init_bbox)
+            b = np.asarray(init_bbox, np.float32)
+            return dict(track_bboxes=np.concatenate([b, [1.0]]))
+        self.state, score, xyxy = self._track(
+            self.params, self.state, img, self.anchors, self.window)
+        return dict(track_bboxes=np.concatenate(
+            [np.asarray(xyxy, np.float32), [float(score)]]))
+
+
+def init_sot_model(checkpoint=None, **kwargs) -> SOTModel:
+    m = SOTModel(**kwargs)
+    if checkpoint is not None:
+        from ..utils.checkpoint import load_checkpoint
+
+        m.params = load_checkpoint(checkpoint)
+    return m
+
+
+def inference_sot(model: SOTModel, img: np.ndarray, init_bbox,
+                  frame_id: int) -> Dict:
+    """Public SOT API (reference apis/inference.py:96)."""
+    return model.inference_sot(img, init_bbox, frame_id)

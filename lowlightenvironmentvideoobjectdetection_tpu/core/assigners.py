@@ -173,3 +173,35 @@ def random_sample_gather(
     priority = jnp.where(sel, tiebreak, 1e9)
     inds = jnp.argsort(priority)[:num].astype(jnp.int32)
     return SampleResult(inds, masks.pos_mask[inds], sel[inds])
+
+
+def ohem_sample_gather(
+    assign: AssignResult,
+    per_candidate_loss: jnp.ndarray,
+    num: int,
+    pos_fraction: float,
+) -> SampleResult:
+    """OHEM sampler (reference: mmdet/core/bbox/samplers/ohem_sampler.py):
+    instead of random selection, keep the candidates with the HIGHEST
+    current loss — hardest positives up to the positive quota, hardest
+    negatives for the rest. ``per_candidate_loss``: [N] (e.g. the bbox
+    head's unreduced classification loss on every candidate).
+    """
+    is_pos = assign.assigned_gt_inds > 0
+    is_neg = assign.assigned_gt_inds == 0
+
+    num_exp_pos = int(num * pos_fraction)
+    pos_loss = jnp.where(is_pos, per_candidate_loss, -jnp.inf)
+    pos_rank = jnp.argsort(jnp.argsort(-pos_loss))  # rank 0 = hardest
+    pos_mask = is_pos & (pos_rank < num_exp_pos)
+
+    num_sampled_pos = jnp.sum(pos_mask)
+    neg_loss = jnp.where(is_neg, per_candidate_loss, -jnp.inf)
+    neg_rank = jnp.argsort(jnp.argsort(-neg_loss))
+    neg_mask = is_neg & (neg_rank < (num - num_sampled_pos))
+
+    sel = pos_mask | neg_mask
+    # order selected first, hardest first
+    priority = jnp.where(sel, -per_candidate_loss, jnp.inf)
+    inds = jnp.argsort(priority)[:num].astype(jnp.int32)
+    return SampleResult(inds, pos_mask[inds], sel[inds])

@@ -233,3 +233,54 @@ def multiclass_nms(
         flat_boxes, flat_scores, labels, iou_threshold, max_num, valid=cand_valid
     )
     return DetResult(res.boxes, res.scores, labels[res.inds], res.valid)
+
+
+def nms_match(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+              valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Group boxes into NMS suppression groups (mmcv.ops.nms_match).
+
+    Returns [N] int32: for each box, the index of the kept (group-root) box
+    that suppresses it — a kept box maps to itself; invalid boxes map to -1.
+    The reference's OHEM machinery uses this to share loss within duplicate
+    groups. Same fixpoint formulation as nms_fixed, but keeps the full [N]
+    keep mask instead of compacting to max_out slots.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    live = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+    alive = live > NEG_INF / 2
+
+    x1, y1, x2, y2 = (boxes[:, i].astype(jnp.float32) for i in range(4))
+    iw = jnp.maximum(jnp.minimum(x2[:, None], x2[None, :])
+                     - jnp.maximum(x1[:, None], x1[None, :]), 0.0)
+    ih = jnp.maximum(jnp.minimum(y2[:, None], y2[None, :])
+                     - jnp.maximum(y1[:, None], y1[None, :]), 0.0)
+    inter = iw * ih
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
+
+    # rank by score (stable by index); j "outranks" i if better score
+    rank = jnp.argsort(jnp.argsort(-live))
+    outranks = rank[None, :] < rank[:, None]
+    overlap = (iou >= iou_threshold) & outranks & alive[None, :]
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it < n)
+
+    def body(carry):
+        keep, _, it = carry
+        new = alive & ~jnp.any(overlap & keep[None, :], axis=1)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (alive, jnp.zeros_like(alive), jnp.asarray(0)))
+
+    # each suppressed box matches its best-ranked kept suppressor
+    cand = keep[None, :] & (iou >= iou_threshold) & alive[:, None]
+    cand_rank = jnp.where(cand, rank[None, :], n + 1)
+    root = jnp.argmin(cand_rank, axis=1).astype(jnp.int32)
+    has = jnp.any(cand, axis=1)
+    root = jnp.where(keep, jnp.arange(n, dtype=jnp.int32), root)
+    return jnp.where(alive & (has | keep), root, -1)

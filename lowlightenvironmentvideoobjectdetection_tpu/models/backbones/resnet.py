@@ -65,26 +65,37 @@ class FrozenBatchNorm(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """Standard bottleneck; with ``groups > 1`` it is the ResNeXt block
+    (mmdetection/mmdet/models/backbones/resnext.py:12 — mid width =
+    planes * base_width/64 * groups, grouped 3x3)."""
+
     planes: int  # bottleneck width; output channels = planes * 4
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    groups: int = 1
+    base_width: int = 4
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         identity = x
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out = nn.Conv(
-            self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+            width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
         )(x)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes,
+            width,
             (3, 3),
             strides=(self.stride, self.stride),
             padding=[(self.dilation, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
             name="conv2",
@@ -157,6 +168,8 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (3,)
     frozen_stages: int = -1
+    groups: int = 1  # > 1 = ResNeXt (resnext.py:12)
+    base_width: int = 4
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -184,6 +197,9 @@ class ResNet(nn.Module):
                 first = j == 0
                 in_c = x.shape[-1]
                 needs_ds = first and (stride != 1 or in_c != planes * expansion)
+                kw = {}
+                if block_cls is Bottleneck:
+                    kw = dict(groups=self.groups, base_width=self.base_width)
                 x = block_cls(
                     planes=planes,
                     stride=stride if first else 1,
@@ -191,11 +207,20 @@ class ResNet(nn.Module):
                     downsample=needs_ds,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
+                    **kw,
                 )(x)
             if self.frozen_stages >= i + 1:
                 x = lax.stop_gradient(x)
             outs[i] = x
         return tuple(outs[i] for i in self.out_indices)
+
+
+class ResNeXt(ResNet):
+    """ResNeXt-50/101 32x4d (mmdetection/mmdet/models/backbones/resnext.py:
+    grouped 3x3 bottlenecks)."""
+
+    groups: int = 32
+    base_width: int = 4
 
 
 def resnet_dc5(depth: int = 50, out_indices=(3,), dtype=jnp.bfloat16, **kw) -> ResNet:

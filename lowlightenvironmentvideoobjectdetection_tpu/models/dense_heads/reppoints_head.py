@@ -1,0 +1,286 @@
+"""RepPoints: point-set object representation with two-stage refinement.
+
+Parity target: mmdetection/mmdet/models/dense_heads/reppoints_head.py:1-763
+and configs/reppoints/reppoints_moment_r50_fpn_1x_coco.py —
+- each location carries 9 points; stage 1 (init) predicts their offsets from
+  a conv; stage 2 (refine) runs a DeformConv sampled AT the init points
+  (gradient_mul=0.1 on the offset path) for both the cls branch and the
+  refined offsets (added to the init points);
+- points -> box via the MOMENT transfer: center = mean(points),
+  half-extent = std(points) * exp(moment_transfer * moment_mul), with
+  learnable per-axis moment_transfer (reppoints_head.py points2bbox);
+- targets: init stage assigns each gt to its nearest point on the gt's
+  scale level (PointAssigner); refine stage re-assigns by MaxIoU against
+  the init-decoded boxes; SmoothL1 box losses (init w=0.5, refine w=1.0)
+  computed in stride-normalized coordinates, focal cls on the refine stage.
+
+TPU-native: point sets are dense [P, 9, 2] tensors; the nearest-point
+assignment is an argmin over a [P, G] distance matrix per level.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core import boxes as box_ops, losses, nms as nms_ops
+from ...ops.deform_conv import deform_conv
+from ..backbones.resnet import ResNet
+from ..necks.fpn import FPN
+
+REP_STRIDES = (8, 16, 32, 64, 128)
+NUM_POINTS = 9
+
+
+class PointsDCN(nn.Module):
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, offset):
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (3, 3, x.shape[-1], self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return jax.vmap(lambda xi, oi: deform_conv(xi, oi, w, b))(x, offset)
+
+
+class RepPointsHead(nn.Module):
+    num_classes: int = 80
+    feat_channels: int = 256
+    point_feat_channels: int = 256
+    stacked_convs: int = 3
+    gradient_mul: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        convs = {b: [nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                             dtype=self.dtype, name=f"{b}_conv{i}")
+                     for i in range(self.stacked_convs)]
+                 for b in ("cls", "reg")}
+        init_conv = nn.Conv(self.point_feat_channels, (3, 3),
+                            padding=[(1, 1)] * 2, dtype=self.dtype,
+                            name="reppoints_pts_init_conv")
+        init_out = nn.Conv(2 * NUM_POINTS, (1, 1), dtype=self.dtype,
+                           name="reppoints_pts_init_out")
+        cls_dcn = PointsDCN(self.point_feat_channels, name="reppoints_cls_conv")
+        cls_out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                          bias_init=nn.initializers.constant(-4.595),
+                          name="reppoints_cls_out")
+        refine_dcn = PointsDCN(self.point_feat_channels,
+                               name="reppoints_pts_refine_conv")
+        refine_out = nn.Conv(2 * NUM_POINTS, (1, 1), dtype=self.dtype,
+                             name="reppoints_pts_refine_out")
+
+        # base 3x3 grid (dy, dx) the DCN offsets are relative to
+        base = jnp.asarray(
+            [(dy, dx) for dy in (-1.0, 0.0, 1.0) for dx in (-1.0, 0.0, 1.0)],
+            jnp.float32).reshape(-1)
+
+        outs = []
+        for x in feats:
+            c = r = x.astype(self.dtype)
+            for conv in convs["cls"]:
+                c = nn.relu(conv(c))
+            for conv in convs["reg"]:
+                r = nn.relu(conv(r))
+            pts_init = init_out(nn.relu(init_conv(r))).astype(jnp.float32)
+            grad_off = (
+                (1 - self.gradient_mul) * jax.lax.stop_gradient(pts_init)
+                + self.gradient_mul * pts_init)
+            dcn_off = grad_off - base  # relative to the 3x3 base grid
+            cls = cls_out(nn.relu(
+                cls_dcn(c.astype(jnp.float32), dcn_off)).astype(self.dtype))
+            pts_delta = refine_out(nn.relu(
+                refine_dcn(r.astype(jnp.float32), dcn_off)).astype(self.dtype)
+            ).astype(jnp.float32)
+            pts_refine = pts_delta + jax.lax.stop_gradient(pts_init)
+            outs.append((cls, pts_init, pts_refine))
+        return tuple(outs)
+
+
+class MomentTransfer(nn.Module):
+    """Learnable moment multipliers shared across levels
+    (reppoints moment transform)."""
+
+    moment_mul: float = 0.01
+
+    @nn.compact
+    def __call__(self, pts):
+        """pts: [..., NUM_POINTS, 2] (dy, dx) in stride units, centered at
+        the cell. Returns [..., 4] (x1, y1, x2, y2) in the same units."""
+        mt = self.param("moment_transfer", nn.initializers.zeros, (2,))
+        mt = (mt * self.moment_mul
+              + jax.lax.stop_gradient(mt) * (1 - self.moment_mul))
+        mean = jnp.mean(pts, axis=-2)  # [..., 2] (y, x)
+        std = jnp.std(pts, axis=-2)
+        hw = std[..., 1] * jnp.exp(mt[0])
+        hh = std[..., 0] * jnp.exp(mt[1])
+        return jnp.stack([mean[..., 1] - hw, mean[..., 0] - hh,
+                          mean[..., 1] + hw, mean[..., 0] + hh], axis=-1)
+
+
+def points_to_boxes(pts_flat, centers, stride, moment_params=None,
+                    moment_mul: float = 0.01):
+    """pts_flat: [P, 2*NUM_POINTS] (dy, dx interleaved); centers [P, 2] (x, y)
+    in image coords. Moment transform with optional learnable multipliers."""
+    pts = pts_flat.reshape(-1, NUM_POINTS, 2)
+    mean = jnp.mean(pts, axis=1)  # (y, x)
+    std = jnp.std(pts, axis=1)
+    if moment_params is not None:
+        mt = moment_params
+        mt = mt * moment_mul + jax.lax.stop_gradient(mt) * (1 - moment_mul)
+        sw = jnp.exp(mt[0])
+        sh = jnp.exp(mt[1])
+    else:
+        sw = sh = 1.0
+    hw = std[:, 1] * sw * stride
+    hh = std[:, 0] * sh * stride
+    cx = centers[:, 0] + mean[:, 1] * stride
+    cy = centers[:, 1] + mean[:, 0] * stride
+    return jnp.stack([cx - hw, cy - hh, cx + hw, cy + hh], axis=-1)
+
+
+class RepPointsLossOut(NamedTuple):
+    loss_cls: jnp.ndarray
+    loss_pts_init: jnp.ndarray
+    loss_pts_refine: jnp.ndarray
+
+
+def _centers(shapes):
+    out = []
+    for (h, w), s in zip(shapes, REP_STRIDES):
+        ys = (jnp.arange(h, dtype=jnp.float32)) * s + s / 2
+        xs = (jnp.arange(w, dtype=jnp.float32)) * s + s / 2
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        out.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+    return out
+
+
+def reppoints_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes,
+                   moment_params=None) -> RepPointsLossOut:
+    shapes = [(c.shape[-3], c.shape[-2]) for c, _, _ in level_outs]
+    centers = _centers(shapes)
+    G = gt_boxes.shape[0]
+
+    # --- init stage: PointAssigner — each gt picks its scale level, then its
+    # nearest point on that level
+    gw = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 1e-6)
+    gh = jnp.maximum(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-6)
+    gt_lvl = jnp.clip(
+        jnp.floor(jnp.log2(jnp.sqrt(gw * gh) / 8.0)), 0, len(shapes) - 1
+    ).astype(jnp.int32)
+    gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
+    gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
+
+    loss_init = 0.0
+    loss_refine = 0.0
+    loss_cls = 0.0
+    num_pos_init = 0.0
+    num_pos_ref = 0.0
+    for li, (cls, p_init, p_ref) in enumerate(level_outs):
+        h, w = shapes[li]
+        stride = REP_STRIDES[li]
+        ctr = centers[li]  # [P, 2]
+        pi = p_init.reshape(-1, 2 * NUM_POINTS)
+        pr = p_ref.reshape(-1, 2 * NUM_POINTS)
+        clsf = cls.reshape(-1, num_classes).astype(jnp.float32)
+        box_init = points_to_boxes(pi, ctr, stride, moment_params)
+        box_ref = points_to_boxes(pr, ctr, stride, moment_params)
+
+        # init assignment: gts of this level claim their nearest point
+        on_lvl = (gt_lvl == li) & gt_valid
+        d2 = ((ctr[:, None, 0] - gcx[None]) ** 2
+              + (ctr[:, None, 1] - gcy[None]) ** 2)  # [P, G]
+        nearest_pt = jnp.argmin(d2, axis=0)  # [G]
+        pos_init = jnp.zeros((ctr.shape[0],), bool).at[nearest_pt].max(on_lvl)
+        gt_of_pt = jnp.zeros((ctr.shape[0],), jnp.int32).at[nearest_pt].max(
+            jnp.where(on_lvl, jnp.arange(G), 0))
+        matched_i = gt_boxes[gt_of_pt]
+        # smooth-l1 in stride-normalized coords (reppoints normalize_term)
+        norm = stride * 4.0
+        diff_i = jnp.abs(box_init - matched_i) / norm
+        sl1_i = jnp.where(diff_i < 0.11 / 4, 0.5 * diff_i ** 2 / (0.11 / 4),
+                          diff_i - 0.5 * 0.11 / 4)
+        loss_init = loss_init + 0.5 * jnp.sum(
+            sl1_i * pos_init[:, None])
+        num_pos_init = num_pos_init + jnp.sum(pos_init)
+
+        # refine assignment: MaxIoU on init boxes
+        iou = box_ops.bbox_overlaps(jax.lax.stop_gradient(box_init), gt_boxes)
+        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        best_iou = jnp.max(iou, axis=1)
+        best_gt = jnp.argmax(iou, axis=1)
+        pos_ref = best_iou >= 0.5
+        matched_r = gt_boxes[best_gt]
+        diff_r = jnp.abs(box_ref - matched_r) / norm
+        sl1_r = jnp.where(diff_r < 0.11 / 4, 0.5 * diff_r ** 2 / (0.11 / 4),
+                          diff_r - 0.5 * 0.11 / 4)
+        loss_refine = loss_refine + jnp.sum(sl1_r * pos_ref[:, None])
+        num_pos_ref = num_pos_ref + jnp.sum(pos_ref)
+
+        onehot = jax.nn.one_hot(
+            jnp.clip(gt_labels[best_gt], 0, num_classes - 1), num_classes
+        ) * pos_ref[:, None]
+        neg = best_iou < 0.4
+        wvec = (pos_ref | neg).astype(jnp.float32)[:, None]
+        loss_cls = loss_cls + losses.sigmoid_focal_loss(
+            clsf, onehot, weight=wvec, avg_factor=1.0)
+
+    denom_i = jnp.maximum(num_pos_init, 1.0)
+    denom_r = jnp.maximum(num_pos_ref, 1.0)
+    return RepPointsLossOut(loss_cls / denom_r, loss_init / denom_i,
+                            loss_refine / denom_r)
+
+
+def reppoints_decode(level_outs, img_shape, num_classes, nms_pre=1000,
+                     score_thr=0.05, iou_threshold=0.5, max_per_img=100,
+                     scale_factor=None, moment_params=None) -> nms_ops.DetResult:
+    shapes = [(c.shape[-3], c.shape[-2]) for c, _, _ in level_outs]
+    centers = _centers(shapes)
+    all_b, all_s, all_l = [], [], []
+    h_img, w_img = img_shape[0], img_shape[1]
+    for li, (cls, _, p_ref) in enumerate(level_outs):
+        boxes = points_to_boxes(p_ref.reshape(-1, 2 * NUM_POINTS),
+                                centers[li], REP_STRIDES[li], moment_params)
+        boxes = jnp.clip(boxes, 0.0,
+                         jnp.asarray([w_img, h_img, w_img, h_img], jnp.float32))
+        scores = jax.nn.sigmoid(cls.reshape(-1, num_classes).astype(jnp.float32))
+        flat = scores.reshape(-1)
+        k = min(nms_pre, flat.shape[0])
+        top_s, top_i = jax.lax.top_k(flat, k)
+        all_b.append(boxes[top_i // num_classes])
+        all_s.append(top_s)
+        all_l.append((top_i % num_classes).astype(jnp.int32))
+    boxes = jnp.concatenate(all_b)
+    scores = jnp.concatenate(all_s)
+    labels = jnp.concatenate(all_l)
+    if scale_factor is not None:
+        boxes = boxes / jnp.asarray(scale_factor)
+    res = nms_ops.batched_nms(boxes, scores, labels, iou_threshold,
+                              max_per_img, valid=scores > score_thr)
+    return nms_ops.DetResult(res.boxes, res.scores, labels[res.inds],
+                             res.valid)
+
+
+class RepPointsDetector(nn.Module):
+    """ResNet + FPN + RepPointsHead (mmdet/models/detectors/reppoints_detector.py)."""
+
+    num_classes: int = 80
+    depth: int = 50
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth, out_indices=(1, 2, 3),
+                               frozen_stages=1, dtype=self.dtype,
+                               name="backbone")
+        self.neck = FPN(out_channels=256, num_outs=5,
+                        add_extra_convs="on_input", dtype=self.dtype,
+                        name="neck")
+        self.bbox_head = RepPointsHead(num_classes=self.num_classes,
+                                       dtype=self.dtype, name="bbox_head")
+
+    def __call__(self, imgs):
+        return self.bbox_head(self.neck(self.backbone(imgs)))

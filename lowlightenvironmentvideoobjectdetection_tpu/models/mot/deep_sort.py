@@ -112,16 +112,38 @@ class DeepSORT:
 
 
 class Tracktor:
-    """Tracktor orchestrator: adds compiled track-box re-regression."""
+    """Tracktor orchestrator: adds compiled track-box re-regression.
+
+    ``with_cmc`` / ``with_linear_motion`` mirror the reference's switches
+    (mmtrack/models/mot/tracktor.py:60-70): before re-regression, previous
+    track boxes are warped by the ECC camera-motion estimate between the
+    last and current RAW frames, and/or extrapolated by the per-track
+    linear velocity."""
 
     def __init__(self, detector: FasterRCNN, det_params, anchors,
                  tracker: Optional[TracktorTracker] = None,
-                 max_tracks: int = 64):
+                 max_tracks: int = 64,
+                 with_cmc: bool = False,
+                 with_linear_motion: bool = False,
+                 linear_motion_num_samples: int = 2):
         self.detector = detector
         self.det_params = det_params
         self.anchors = anchors
         self.tracker = tracker or TracktorTracker()
         self.max_tracks = max_tracks
+        self.with_cmc = with_cmc
+        self.with_linear_motion = with_linear_motion
+        if with_cmc:
+            from ...core.motion.cmc import CameraMotionCompensation
+
+            self.cmc = CameraMotionCompensation()
+        if with_linear_motion:
+            from ...core.motion.linear import LinearMotion
+
+            self.linear_motion = LinearMotion(
+                num_samples=linear_motion_num_samples)
+        self._last_raw_img: Optional[np.ndarray] = None
+        self._history: dict = {}
 
         _det = jax.jit(
             lambda p, a, img, shape: faster_rcnn_detect(detector, p, img, shape, a)
@@ -158,16 +180,34 @@ class Tracktor:
 
     def reset(self):
         self.tracker.reset()
+        self._last_raw_img = None
+        self._history = {}
 
     def track_frame(self, frame_id: int, img: jnp.ndarray, img_shape,
-                    public_bboxes: Optional[np.ndarray] = None):
+                    public_bboxes: Optional[np.ndarray] = None,
+                    raw_img: Optional[np.ndarray] = None):
         if frame_id == 0:
-            self.tracker.reset()
+            self.reset()
 
         regressed_boxes = regressed_scores = None
         active = self.tracker.ids
         if active:
             prev = np.stack([self.tracker.tracks[t].bbox for t in active])
+            # camera motion compensation (tracktor.py:60-64): warp previous
+            # boxes into the current frame's coordinates
+            if self.with_cmc and raw_img is not None \
+                    and self._last_raw_img is not None:
+                warp = self.cmc.get_warp_matrix(raw_img, self._last_raw_img)
+                prev = self.cmc.warp_bboxes(prev, warp)
+            # linear motion (tracktor.py:65-70): velocity extrapolation from
+            # each track's recent boxes
+            if self.with_linear_motion:
+                for k, t in enumerate(active):
+                    hist = self._history.get(t)
+                    if hist and len(hist) >= 2:
+                        prev[k] = self.linear_motion.step(
+                            hist[-self.linear_motion.num_samples:] + [prev[k]]
+                        )
             pad = np.zeros((self.max_tracks - len(prev), 4), np.float32)
             padded = jnp.asarray(np.concatenate([prev, pad])[: self.max_tracks])
             nb, ns = self._regress_step(img, jnp.asarray(img_shape), padded)
@@ -188,6 +228,13 @@ class Tracktor:
         ids, tb, ts, tl = self.tracker.track(
             frame_id, boxes, scores, labels, regressed_boxes, regressed_scores
         )
+        # per-track box history for linear motion; raw frame for CMC
+        for i, t in enumerate(ids):
+            self._history.setdefault(int(t), []).append(tb[i].copy())
+            if len(self._history[int(t)]) > 8:
+                self._history[int(t)] = self._history[int(t)][-8:]
+        if raw_img is not None:
+            self._last_raw_img = raw_img
         track_bboxes = np.concatenate(
             [ids[:, None].astype(np.float32), tb, ts[:, None]], axis=1
         ) if len(ids) else np.zeros((0, 6))

@@ -115,3 +115,28 @@ def modulated_deform_conv(
     if bias is not None:
         out = out + bias
     return out
+
+
+def deform_conv(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    kernel_size: int = 3,
+    deform_groups: int = 1,
+) -> jnp.ndarray:
+    """Plain (un-modulated) DeformConv2d — DCNv1.
+
+    The reference uses mmcv's ``DeformConv2d`` in the guided-anchoring,
+    RepPoints, VFNet-star and FoveaBox-align heads
+    (mmdet/models/dense_heads/guided_anchor_head.py:4, reppoints_head.py,
+    vfnet_head.py, fovea_head.py FeatureAlign). Identical sampling math to
+    DCNv2 with every modulation mask fixed at 1.
+    """
+    h, w, _ = x.shape
+    kk = kernel_size * kernel_size
+    ones = jnp.ones((h, w, deform_groups * kk), x.dtype)
+    return modulated_deform_conv(
+        x, offset, ones, weight, bias,
+        kernel_size=kernel_size, deform_groups=deform_groups,
+    )

@@ -116,23 +116,30 @@ def build_selsa_dark_detect(num_classes: int = 30, out_indices=(0, 1, 2, 3, 3),
 
 
 @MODELS.register("SelsaNoiseDetect")
-def build_selsa_noise(num_classes: int = 30, out_indices=(3, 3), **kw):
-    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+def build_selsa_noise(num_classes: int = 30, loss_type: str = "l1",
+                      out_indices=(3, 3), **kw):
+    return _darkfarm(num_classes, loss_type, False, out_indices, **kw)
 
 
 @MODELS.register("SelsaNoiseDarkfarmDetect")
-def build_selsa_noise_darkfarm(num_classes: int = 8, out_indices=(3, 3), **kw):
-    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+def build_selsa_noise_darkfarm(num_classes: int = 8, loss_type: str = "l1",
+                               out_indices=(3, 3), **kw):
+    return _darkfarm(num_classes, loss_type, False, out_indices, **kw)
 
 
 @MODELS.register("SelsaCleanDetect")
-def build_selsa_clean(num_classes: int = 30, out_indices=(3, 3), **kw):
-    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+def build_selsa_clean(num_classes: int = 30, loss_type: str = "l1",
+                      out_indices=(3, 3), **kw):
+    """Oracle baseline on the clean half; drive its training with
+    darkfarm_loss(branch='clean') — tools/train.py CLEAN_TYPES does."""
+    return _darkfarm(num_classes, loss_type, False, out_indices, **kw)
 
 
 @MODELS.register("SelsaCleanDarkfarmDetect")
-def build_selsa_clean_darkfarm(num_classes: int = 8, out_indices=(3, 3), **kw):
-    return _darkfarm(num_classes, "l1", False, out_indices, **kw)
+def build_selsa_clean_darkfarm(num_classes: int = 8, loss_type: str = "l1",
+                               out_indices=(3, 3), **kw):
+    """See build_selsa_clean."""
+    return _darkfarm(num_classes, loss_type, False, out_indices, **kw)
 
 
 @MODELS.register("LLVOD")
@@ -230,6 +237,9 @@ def _register_datasets():
     )
     from .registry import DATASETS
 
+    from .data.coco_det import CocoDataset
+
+    DATASETS.register("CocoDataset")(CocoDataset)
     DATASETS.register("CocoVideoDataset")(CocoVideoDataset)
     DATASETS.register("ImagenetVIDDataset")(ImagenetVIDDataset)
     DATASETS.register("DarkFarmVIDDataset")(DarkFarmVIDDataset)
@@ -381,3 +391,156 @@ def build_gfl(num_classes: int = 80, depth: int = 50, **kw):
     from .models.dense_heads.gfl_head import GFL
 
     return GFL(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("FSAF")
+def build_fsaf(num_classes: int = 80, depth: int = 50, **kw):
+    """FSAF anchor-free online-level-selection detector (reference: mmdet
+    fsaf.py + fsaf_head.py:15)."""
+    from .models.dense_heads.fsaf_head import FSAF
+
+    return FSAF(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("FoveaBox")
+@MODELS.register("FOVEA")
+def build_fovea(num_classes: int = 80, depth: int = 50, **kw):
+    """FoveaBox per-level fovea-region detector (reference: mmdet fovea.py +
+    fovea_head.py:43)."""
+    from .models.dense_heads.fovea_head import FoveaBox
+
+    return FoveaBox(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("FreeAnchor")
+@MODELS.register("FreeAnchorRetinaNet")
+def build_free_anchor(num_classes: int = 80, depth: int = 50, **kw):
+    """FreeAnchor learning-to-match RetinaNet (reference: mmdet
+    free_anchor_retina_head.py:40); same tower as RetinaNet, the loss is
+    free_anchor_head.free_anchor_loss."""
+    from .models.dense_heads.retina_head import RetinaNet
+
+    return RetinaNet(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("PAA")
+def build_paa(num_classes: int = 80, depth: int = 50, **kw):
+    """Probabilistic anchor assignment detector (reference: mmdet paa.py +
+    paa_head.py:45)."""
+    from .models.dense_heads.paa_head import PAA
+
+    return PAA(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("VFNet")
+def build_vfnet(num_classes: int = 80, depth: int = 50, **kw):
+    """VarifocalNet with star-DCN refinement (reference: mmdet vfnet.py +
+    vfnet_head.py:64)."""
+    from .models.dense_heads.vfnet_head import VFNet
+
+    return VFNet(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("RepPointsDetector")
+@MODELS.register("RepPoints")
+def build_reppoints(num_classes: int = 80, depth: int = 50, **kw):
+    """RepPoints point-set detector (reference: mmdet
+    reppoints_detector.py + reppoints_head.py)."""
+    from .models.dense_heads.reppoints_head import RepPointsDetector
+
+    return RepPointsDetector(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("SABL")
+@MODELS.register("SABLRetinaNet")
+def build_sabl(num_classes: int = 80, depth: int = 50, **kw):
+    """Side-aware boundary localization retina detector (reference: mmdet
+    sabl_retina_head.py + bucketing_bbox_coder.py)."""
+    from .models.dense_heads.sabl_head import SABLRetinaNet
+
+    return SABLRetinaNet(num_classes=num_classes, depth=depth, **kw)
+
+
+def _register_extra_backbones_necks():
+    """Round-2 zoo breadth: extra backbones (resnext/res2net/regnet/hrnet/
+    hourglass) and necks (pafpn/hrfpn/bfp/nasfpn/fpg/carafe-fpn)."""
+    from .registry import BACKBONES, NECKS
+
+    from .models.backbones.resnet import ResNeXt
+    from .models.backbones.res2net import Res2Net
+    from .models.backbones.regnet import RegNet
+    from .models.backbones.hrnet import HRNet
+    from .models.backbones.hourglass import HourglassNet
+    from .models.necks.extra_necks import (
+        BFP, FPG, FPNCarafe, HRFPN, NASFPN, PAFPN,
+    )
+
+    BACKBONES.register("ResNeXt")(ResNeXt)
+    BACKBONES.register("Res2Net")(Res2Net)
+    BACKBONES.register("RegNet")(RegNet)
+    BACKBONES.register("HRNet")(HRNet)
+    BACKBONES.register("HourglassNet")(HourglassNet)
+    NECKS.register("PAFPN")(PAFPN)
+    NECKS.register("HRFPN")(HRFPN)
+    NECKS.register("BFP")(BFP)
+    NECKS.register("NASFPN")(NASFPN)
+    NECKS.register("FPG")(FPG)
+    NECKS.register("FPN_CARAFE")(FPNCarafe)
+
+
+_register_extra_backbones_necks()
+
+
+@MODELS.register("SparseRCNN")
+def build_sparse_rcnn(num_classes: int = 80, num_proposals: int = 100, **kw):
+    """Sparse R-CNN learnable-proposal detector (reference: mmdet
+    sparse_rcnn.py + embedding_rpn_head.py + dii_head)."""
+    from .models.detectors.sparse_rcnn import SparseRCNN
+
+    return SparseRCNN(num_classes=num_classes, num_proposals=num_proposals,
+                      **kw)
+
+
+@MODELS.register("NASFCOS")
+def build_nasfcos(num_classes: int = 80, depth: int = 50, **kw):
+    """NAS-FCOS (reference: mmdet nasfcos.py + nasfcos_head.py:75)."""
+    from .models.dense_heads.pisa_nasfcos import NASFCOS
+
+    return NASFCOS(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("PISARetinaNet")
+@MODELS.register("PISA")
+def build_pisa_retina(num_classes: int = 80, depth: int = 50, **kw):
+    """PISA ISR-P/CARL RetinaNet (reference: mmdet pisa_retinanet_head.py);
+    train with pisa_nasfcos.pisa_retina_loss."""
+    from .models.dense_heads.retina_head import RetinaNet
+
+    return RetinaNet(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("YOLACT")
+def build_yolact(num_classes: int = 80, depth: int = 50, **kw):
+    """YOLACT prototype-mask instance segmentation (reference: mmdet
+    yolact.py + yolact_head.py)."""
+    from .models.dense_heads.yolact_head import YOLACT
+
+    return YOLACT(num_classes=num_classes, depth=depth, **kw)
+
+
+@MODELS.register("CornerNet")
+def build_cornernet(num_classes: int = 80, **kw):
+    """CornerNet keypoint detector with corner pooling (reference: mmdet
+    cornernet.py + corner_head.py:1 + mmcv CornerPool)."""
+    from .models.dense_heads.corner_head import CornerNet
+
+    return CornerNet(num_classes=num_classes, **kw)
+
+
+@MODELS.register("CentripetalNet")
+def build_centripetalnet(num_classes: int = 80, **kw):
+    """CentripetalNet: corners matched by centripetal shifts (reference:
+    mmdet centripetalnet.py + centripetal_head.py)."""
+    from .models.dense_heads.corner_head import CentripetalNet
+
+    return CentripetalNet(num_classes=num_classes, **kw)
