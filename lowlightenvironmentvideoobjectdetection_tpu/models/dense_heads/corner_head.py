@@ -39,22 +39,23 @@ class CornerBranch(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        p = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+        ch = x.shape[-1]
+        p = nn.Conv(ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="pool_conv")(x)
         p = tl_pool(p) if self.pool == "tl" else br_pool(p)
-        p = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1)] * 2,
+        p = nn.relu(nn.Conv(ch, (3, 3), padding=[(1, 1)] * 2,
                             dtype=self.dtype, name="fuse_conv")(p) + x)
         heat = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        bias_init=nn.initializers.constant(-2.19),
                        name="heat_out")(nn.relu(nn.Conv(
-                           256, (3, 3), padding=[(1, 1)] * 2,
+                           ch, (3, 3), padding=[(1, 1)] * 2,
                            dtype=self.dtype, name="heat_conv")(p)))
         emb = nn.Conv(self.emb_dim, (1, 1), dtype=self.dtype,
                       name="emb_out")(nn.relu(nn.Conv(
-                          256, (3, 3), padding=[(1, 1)] * 2,
+                          ch, (3, 3), padding=[(1, 1)] * 2,
                           dtype=self.dtype, name="emb_conv")(p)))
         off = nn.Conv(2, (1, 1), dtype=self.dtype, name="off_out")(
-            nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1)] * 2,
+            nn.relu(nn.Conv(ch, (3, 3), padding=[(1, 1)] * 2,
                             dtype=self.dtype, name="off_conv")(p)))
         return (heat.astype(jnp.float32), emb.astype(jnp.float32),
                 off.astype(jnp.float32))

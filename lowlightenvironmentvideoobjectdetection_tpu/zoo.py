@@ -172,7 +172,9 @@ def build_deepsort(det_params=None, reid_params=None, num_classes: int = 1,
 
 
 @MODELS.register("Tracktor")
-def build_tracktor(det_params=None, num_classes: int = 1, **kw):
+def build_tracktor(det_params=None, num_classes: int = 1,
+                   with_cmc: bool = False, with_linear_motion: bool = False,
+                   linear_motion_num_samples: int = 2, **kw):
     import jax
 
     from .models.detectors.faster_rcnn import make_faster_rcnn
@@ -183,7 +185,9 @@ def build_tracktor(det_params=None, num_classes: int = 1, **kw):
         det_params = jax.jit(detector.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
         )
-    return Tracktor(detector, det_params, anchors)
+    return Tracktor(detector, det_params, anchors, with_cmc=with_cmc,
+                    with_linear_motion=with_linear_motion,
+                    linear_motion_num_samples=linear_motion_num_samples)
 
 
 @MODELS.register("RetinaNet")
@@ -544,3 +548,20 @@ def build_centripetalnet(num_classes: int = 80, **kw):
     from .models.dense_heads.corner_head import CentripetalNet
 
     return CentripetalNet(num_classes=num_classes, **kw)
+
+
+def _register_backbones_round2b():
+    from .registry import BACKBONES, NECKS
+
+    from .models.backbones.resnest import ResNeSt
+    from .models.backbones.detectors_trident import (
+        DetectoRSResNet, RFP, TridentResNet,
+    )
+
+    BACKBONES.register("ResNeSt")(ResNeSt)
+    BACKBONES.register("DetectoRS_ResNet")(DetectoRSResNet)
+    BACKBONES.register("TridentResNet")(TridentResNet)
+    NECKS.register("RFP")(RFP)
+
+
+_register_backbones_round2b()
