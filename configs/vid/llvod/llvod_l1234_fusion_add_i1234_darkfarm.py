@@ -1,0 +1,4 @@
+# Ablation: aggregator WITHOUT rdb and taf
+# (reference: configs/vid/llvod/llvod_l1234_fusion_add_i1234_darkfarm.py)
+_base_ = ["llvod_l1234_fusion_add_i1234_rdb_taf_darkfarm.py"]
+model = dict(agg_rdb=False, agg_taf=False)

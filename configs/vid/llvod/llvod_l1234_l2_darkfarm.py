@@ -1,0 +1,4 @@
+# Ablation: L2 feature-consistency loss
+# (reference: llvod_l1234_l2_darkfarm.py)
+_base_ = ["llvod_l1234_fusion_add_i1234_rdb_taf_darkfarm.py"]
+model = dict(loss_type="l2")

@@ -80,9 +80,12 @@ def nms_fixed_loop(
     )
 
 
-# Candidate cap for the matrix NMS: [K, K] IoU in fp32 is K^2*4 bytes
-# (2048 -> 16.8 MB), far below HBM but enough that we bound it.
-_MATRIX_NMS_MAX_K = 2048
+# Cap on the sorted candidate set entering the IoU-matrix fixpoint.
+# 6144 covers the reference's rpn nms_pre=6000 (faster_rcnn_r50_dc5.py:25-29)
+# exactly; the [K, K] bf16/f32 relation matrix peaks at ~150 MB transient,
+# fine on 16 GB chips. Callers pass pre_top_k to trade this down (the
+# perf-tuned SELSA default uses 2000).
+_MATRIX_NMS_MAX_K = 6144
 
 
 def nms_fixed(

@@ -113,6 +113,40 @@ class Shared2FCBBoxHead(nn.Module):
             x = nn.relu(x)
         return self._heads(x)
 
+    def forward_cached_stream(
+        self,
+        x: jnp.ndarray,
+        ref_stages: Sequence[jnp.ndarray],
+        ref_mask: jnp.ndarray,
+        self_mask: jnp.ndarray,
+    ):
+        """Streaming forward: attends over cached ref activations PLUS this
+        frame's own rois (reference selsa.py:222-223/:256 concatenates the
+        current frame into the ref set), and returns the frame's ref-side
+        activations for the memo — with NO extra stage-1 matmul: the
+        25088->1024 fc output is shared between the key path and the
+        ref-side stage-1 activation (they are identical by construction;
+        only later stages diverge, where the key path adds the aggregation
+        residual before the relu while the ref path does not).
+
+        Returns ((cls, reg), cur_stages).
+        """
+        assert self.with_selsa
+        x = x.reshape(x.shape[0], -1).astype(self.dtype)
+        cur_stages = []
+        r = None
+        for i, fc in enumerate(self.shared_fcs):
+            xf = fc(x)
+            cur = xf if i == 0 else fc(r)  # ref-side activation, pre-relu
+            cur_stages.append(cur)
+            r = nn.relu(cur)
+            refs = jnp.concatenate(
+                [ref_stages[i].astype(cur.dtype), cur], axis=0)
+            mask = jnp.concatenate([ref_mask, self_mask])
+            x = xf + self.aggregators[i](xf, refs, mask)
+            x = nn.relu(x)
+        return self._heads(x), tuple(cur_stages)
+
 
 class BBoxTargets(NamedTuple):
     rois: jnp.ndarray  # [num, 4] sampled proposals

@@ -165,6 +165,10 @@ class SelsaDetector(nn.Module):
     def bbox_forward_cached(self, x, ref_stages, ref_mask):
         return self.bbox_head.forward_cached(x, ref_stages, ref_mask)
 
+    def bbox_forward_cached_stream(self, x, ref_stages, ref_mask, self_mask):
+        return self.bbox_head.forward_cached_stream(
+            x, ref_stages, ref_mask, self_mask)
+
     def __call__(self, imgs: jnp.ndarray):
         """Init/inspection path: runs every submodule once."""
         _, neck_feat = self.extract_feat(imgs)
@@ -355,16 +359,12 @@ def inference_step(
         jnp.zeros((props.boxes.shape[0],), jnp.int32),
         method=SelsaDetector.roi_feats,
     )
-    cur_stages = model.apply(params, rfeats, method=SelsaDetector.ref_transform)
     ref_stages = tuple(
-        jnp.concatenate([buf.reshape(-1, buf.shape[-1]),
-                         cs.astype(buf.dtype)], axis=0)
-        for buf, cs in zip(state.ref_fc, cur_stages)
-    )
-    ref_mask = jnp.concatenate([state.ref_valid.reshape(-1), props.valid])
-    cls_score, bbox_pred = model.apply(
-        params, rfeats, ref_stages, ref_mask,
-        method=SelsaDetector.bbox_forward_cached,
+        buf.reshape(-1, buf.shape[-1]) for buf in state.ref_fc)
+    ref_mask = state.ref_valid.reshape(-1)
+    (cls_score, bbox_pred), cur_stages = model.apply(
+        params, rfeats, ref_stages, ref_mask, props.valid,
+        method=SelsaDetector.bbox_forward_cached_stream,
     )
     dets = bh.bbox_decode(
         props.boxes, cls_score, bbox_pred, img_shape,

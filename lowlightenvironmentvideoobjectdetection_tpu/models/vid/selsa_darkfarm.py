@@ -50,6 +50,14 @@ class DarkfarmConfig:
     # heads, with dual feature losses `_u` (undenoised) and `_d` (denoised)
     # (selsa_new_darkfarm_detect.py:36,166,191-192)
     with_aggregator: bool = False
+    # aggregator ablation flags (the reference's rdb/taf config-name axis:
+    # llvod_l1234_fusion_add_i1234[_rdb][_taf]_darkfarm.py)
+    agg_rdb: bool = True
+    agg_taf: bool = True
+    # which feature-loss branches supervise when the aggregator is on:
+    # 'both' (default), 'u' (undenoised only — llvod_l1234u_*), or
+    # 'd' (denoised only — llvod_l1234d_*)
+    dual_branch: str = "both"
 
     @property
     def loss_stages(self) -> Tuple[int, ...]:
@@ -102,8 +110,8 @@ class SelsaDarkfarmDetector(nn.Module):
                 channel_growth=(64,) * len(chans),
                 taf_embs=(3,) * len(chans),
                 downsample=down,
-                with_rdb=(True,) * len(chans),
-                with_taf=(True,) * len(chans),
+                with_rdb=(self.cfg.agg_rdb,) * len(chans),
+                with_taf=(self.cfg.agg_taf,) * len(chans),
                 dtype=self.cfg.selsa.compute_dtype,
                 name="aggregator",
             )
@@ -199,11 +207,13 @@ def darkfarm_loss(
         # stage features are tied to the clean teacher (ref L191-192).
         for i in range(len(cfg.loss_stages)):
             clean_i = clean_feats[i].astype(jnp.float32)
-            fl = feat_loss_fn(stage_feats[i].astype(jnp.float32), clean_i)
-            suffix = "_u" if cfg.with_aggregator else ""
-            metrics[f"loss_{cfg.loss_type}_{i}{suffix}"] = fl
-            total = total + fl
-            if denoised_stages is not None:
+            if cfg.dual_branch in ("both", "u") or denoised_stages is None:
+                fl = feat_loss_fn(stage_feats[i].astype(jnp.float32), clean_i)
+                suffix = "_u" if cfg.with_aggregator else ""
+                metrics[f"loss_{cfg.loss_type}_{i}{suffix}"] = fl
+                total = total + fl
+            if denoised_stages is not None and cfg.dual_branch in ("both",
+                                                                   "d"):
                 fd = feat_loss_fn(
                     denoised_stages[i].astype(jnp.float32), clean_i
                 )

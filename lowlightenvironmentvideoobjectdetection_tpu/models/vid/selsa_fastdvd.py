@@ -39,6 +39,9 @@ class FastDVDSelsaConfig:
     # (0 trains detection only with a frozen/pretrained denoiser)
     denoise_loss_weight: float = 1.0
     in_channels: int = 3
+    # 'fastdvd' (5-frame video denoiser) or 'unet' (per-frame image
+    # denoiser baseline — reference llvod_unet_darkfarm.py)
+    denoiser: str = "fastdvd"
 
 
 class FastDVDSelsaDetector(nn.Module):
@@ -47,7 +50,12 @@ class FastDVDSelsaDetector(nn.Module):
     cfg: FastDVDSelsaConfig = FastDVDSelsaConfig()
 
     def setup(self):
-        self.denoiser = FastDVDnet(name="denoiser")
+        if self.cfg.denoiser == "unet":
+            from ..cleaners.video_denoisers import Unet
+
+            self.denoiser = Unet(name="denoiser")
+        else:
+            self.denoiser = FastDVDnet(name="denoiser")
         self.selsa = SelsaDetector(cfg=self.cfg.selsa, name="selsa")
 
     def denoise_clip(self, frames: jnp.ndarray) -> jnp.ndarray:
@@ -56,6 +64,8 @@ class FastDVDSelsaDetector(nn.Module):
         t = frames.shape[0]
         # static python loop (flax params can't be created under lax.map);
         # the denoiser weights are shared so XLA caches one compiled block
+        if self.cfg.denoiser == "unet":  # per-frame image denoiser
+            return jnp.stack([self.denoiser(frames[i]) for i in range(t)])
         outs = []
         for i in range(t):
             win_idx = [min(max(i + d, 0), t - 1) for d in range(-2, 3)]

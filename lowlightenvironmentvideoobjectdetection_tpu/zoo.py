@@ -55,13 +55,15 @@ def build_dff(num_classes: int = 30, key_frame_interval: int = 10, **kw):
 
 
 def _darkfarm(num_classes, loss_type, with_cleaner, out_indices, in_channels=3,
-              with_aggregator=False, **kw):
+              with_aggregator=False, agg_rdb=True, agg_taf=True,
+              dual_branch="both", **kw):
     from .models.vid.selsa_darkfarm import DarkfarmConfig, make_darkfarm
 
     cfg = DarkfarmConfig(
         selsa=_selsa_cfg(num_classes=num_classes, out_indices=out_indices, **kw),
         loss_type=loss_type, with_cleaner=with_cleaner, in_channels=in_channels,
-        with_aggregator=with_aggregator,
+        with_aggregator=with_aggregator, agg_rdb=agg_rdb, agg_taf=agg_taf,
+        dual_branch=dual_branch,
     )
     return make_darkfarm(cfg)
 
@@ -217,13 +219,16 @@ def build_siamrpn(**kw):
 
 
 @MODELS.register("SelsaFastDVDnetDetect")
-def build_selsa_fastdvd(num_classes: int = 8, **kw):
-    """Two-stage baseline: FastDVDnet image-space denoiser, then SELSA
-    detection on the denoised frames (reference: selsa_fastdvd_darkfarm.py)."""
+def build_selsa_fastdvd(num_classes: int = 8, denoiser: str = "fastdvd",
+                        **kw):
+    """Two-stage baseline: FastDVDnet (or Unet, reference
+    llvod_unet_darkfarm.py) image-space denoiser, then SELSA detection on
+    the denoised frames (reference: selsa_fastdvd_darkfarm.py)."""
     from .models.vid.selsa_fastdvd import FastDVDSelsaConfig, make_fastdvd_selsa
 
     return make_fastdvd_selsa(
-        FastDVDSelsaConfig(selsa=_selsa_cfg(num_classes=num_classes, **kw))
+        FastDVDSelsaConfig(selsa=_selsa_cfg(num_classes=num_classes, **kw),
+                           denoiser=denoiser)
     )
 
 

@@ -296,6 +296,42 @@ class TestFullCheckpointParity:
                                    np.asarray(reg_joint), rtol=1e-4,
                                    atol=1e-4)
 
+    def test_stream_head_matches_joint_with_self_refs(self, pipeline_pair):
+        """forward_cached_stream (cached refs + the current frame appended,
+        stage-1 fc shared) must equal the JOINT forward whose reference set
+        is [cached refs ++ current rois] — the reference's test-time math
+        (selsa.py:222-223)."""
+        _, jmodel, variables = pipeline_pair
+        rng = np.random.RandomState(4)
+        rois = jnp.asarray(rng.randn(4, 7, 7, 512).astype(np.float32))
+        refs = jnp.asarray(rng.randn(8, 7, 7, 512).astype(np.float32))
+
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaDetector,
+        )
+
+        joint_refs = jnp.concatenate([refs, rois], axis=0)
+        cls_j, reg_j = jmodel.apply(
+            variables, rois, joint_refs, jnp.ones((12,), bool),
+            method=SelsaDetector.bbox_forward)
+
+        stages = jmodel.apply(variables, refs,
+                              method=SelsaDetector.ref_transform)
+        (cls_s, reg_s), cur = jmodel.apply(
+            variables, rois, stages, jnp.ones((8,), bool),
+            jnp.ones((4,), bool),
+            method=SelsaDetector.bbox_forward_cached_stream)
+        np.testing.assert_allclose(np.asarray(cls_s), np.asarray(cls_j),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(reg_s), np.asarray(reg_j),
+                                   rtol=1e-4, atol=1e-4)
+        # the returned own-activations equal ref_transform on the same rois
+        want = jmodel.apply(variables, rois,
+                            method=SelsaDetector.ref_transform)
+        for a, b in zip(cur, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_delta_decode_reference_formula(self):
         """delta2bbox vs the reference DeltaXYWHBBoxCoder math
         (delta_xywh_bbox_coder.py), including stds and wh clamp."""

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Measure the fps cost of the reference-exact proposal budget.
+
+VERDICT r1 weak #7: ``nms_pre=2000`` (the framework's perf default) vs the
+reference's 6000 (faster_rcnn_r50_dc5.py:25-29) was never measured. This
+benchmarks the streaming SELSA step at both settings on the real chip with
+bench.py's chained-differential methodology and prints one JSON line per
+setting. (The accuracy side needs ImageNet-VID on disk; the proposal-recall
+proxy lives in tests/test_core_geometry.py's NMS exactness tests — the keep
+set at 6000 is a strict relaxation of 2000's.)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+    SelsaConfig, SelsaDetector, VideoState, inference_step, init_params,
+    make_anchors,
+)
+
+
+def bench_one(nms_pre: int) -> float:
+    cfg = SelsaConfig(test_nms_pre=nms_pre)
+    model = SelsaDetector(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), small=True)
+    anchors = make_anchors(cfg)
+    s, p = cfg.num_ref_frames, cfg.test_nms_post
+    rng = jax.random.PRNGKey(1)
+    state = VideoState(
+        ref_fc=(jax.random.normal(rng, (s, p, 1024)) * 0.1,
+                jax.random.normal(rng, (s, p, 1024)) * 0.1),
+        ref_valid=jnp.ones((s, p), bool),
+        next_slot=jnp.zeros((), jnp.int32),
+    )
+    img_shape = jnp.asarray([600.0, 1000.0])
+    sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    frame = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
+
+    @jax.jit
+    def step_dep(params, anchors, state, frame, img_shape, sf):
+        st, dets = inference_step(model, params, state, frame, img_shape,
+                                  sf, anchors)
+        return st, dets, frame + 1e-12 * dets.scores.sum()
+
+    st, dets, fr = step_dep(params, anchors, state, frame, img_shape, sf)
+    float(jax.device_get(dets.scores.sum()))
+
+    def run(n):
+        t0 = time.perf_counter()
+        st, fr = state, frame
+        for _ in range(n):
+            st, dets, fr = step_dep(params, anchors, st, fr, img_shape, sf)
+        jax.device_get(dets.scores.sum())
+        return time.perf_counter() - t0
+
+    diffs = []
+    for _ in range(3):
+        diffs.append(run(120) - run(20))
+    diffs.sort()
+    return 100.0 / max(diffs[1], 1e-9)
+
+
+def main():
+    for nms_pre in (2000, 6000):
+        fps = bench_one(nms_pre)
+        print(json.dumps({"metric": f"selsa_stream_fps_nms_pre_{nms_pre}",
+                          "value": round(fps, 2),
+                          "unit": "frames/sec/chip"}))
+
+
+if __name__ == "__main__":
+    main()
