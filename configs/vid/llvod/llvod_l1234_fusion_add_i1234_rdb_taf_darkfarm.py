@@ -11,6 +11,10 @@ model = dict(
     num_classes=8,
     out_indices=(0, 1, 2, 3, 3),
     loss_type="l1",
+    # reference llvod_*.py:51-60: TemporalRoIAlign key-roi extractor
+    # (2 most-similar points, 4 temporal attention blocks) + 3 shared FCs
+    roi_extractor="temporal",
+    num_shared_fcs=3,
 )
 dataset_type = "DarkFarmVIDDataset"
 data_root = "data/darkfarm/"

@@ -152,19 +152,27 @@ class DenoisingAggregator(nn.Module):
     channels: int = 512
     mid_channels: int = 128
     rdb_blocks: int = 2
+    rdb_layers: int = 3
     channel_growth: int = 64
+    emb_nums: int = 3
+    with_rdb: bool = True
+    with_taf: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.relu(nn.Conv(self.channels, (3, 3), padding=[(1, 1)] * 2,
                             dtype=self.dtype, name="conv1")(x))
-        for i in range(self.rdb_blocks):
-            h = RDB(self.channels, self.channel_growth, dtype=self.dtype,
-                    name=f"rdb{i}")(h)
-        h = TemporalAttentionFusion(
-            self.channels, self.mid_channels, dtype=self.dtype, name="taf"
-        )(h)
+        if self.with_rdb:
+            for i in range(self.rdb_blocks):
+                h = RDB(self.channels, self.channel_growth,
+                        num_layers=self.rdb_layers, dtype=self.dtype,
+                        name=f"rdb{i}")(h)
+        if self.with_taf:
+            h = TemporalAttentionFusion(
+                self.channels, self.mid_channels, emb_nums=self.emb_nums,
+                dtype=self.dtype, name="taf"
+            )(h)
         h = nn.Conv(self.channels, (3, 3), padding=[(1, 1)] * 2,
                     dtype=self.dtype, name="conv2")(h)
         return x + h

@@ -228,6 +228,17 @@ class DarkResNet(nn.Module):
     bidirectional: bool = False
     plugin_stages: Sequence[int] = ()
     with_cbam: bool = False
+    # plugin flavor appended at ``plugin_stages``: "layer" = the per-layer
+    # DCNv2 fusion plugin (resnet_C.py:61-185); "aggregator" = a
+    # DenoisingAggregator RDB+TAF block as in the reference's InsertResNet
+    # (insert_resnet.py:93-97, insert_cfg type='DenoisingAggregator') with
+    # the rdb/taf ablation knobs of the insert-plugins configs
+    plugin_type: str = "layer"
+    plugin_rdb_blocks: int = 1
+    plugin_rdb_layers: int = 3
+    plugin_emb_nums: int = 3
+    plugin_with_rdb: bool = True
+    plugin_with_taf: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -268,10 +279,26 @@ class DarkResNet(nn.Module):
                 else:
                     x = Bottleneck(**common)(x)
             if i in self.plugin_stages:
-                x = LayerDenoisingPlugin(
-                    with_cbam=self.with_cbam, dtype=self.dtype,
-                    name=f"plugin{i + 1}",
-                )(x)
+                if self.plugin_type == "aggregator":
+                    from ..aggregators.denoising_aggregator import (
+                        DenoisingAggregator,
+                    )
+
+                    x = DenoisingAggregator(
+                        channels=x.shape[-1], mid_channels=planes,
+                        rdb_blocks=self.plugin_rdb_blocks,
+                        rdb_layers=self.plugin_rdb_layers,
+                        channel_growth=64,
+                        emb_nums=self.plugin_emb_nums,
+                        with_rdb=self.plugin_with_rdb,
+                        with_taf=self.plugin_with_taf,
+                        dtype=self.dtype, name=f"plugin{i + 1}",
+                    )(x)
+                else:
+                    x = LayerDenoisingPlugin(
+                        with_cbam=self.with_cbam, dtype=self.dtype,
+                        name=f"plugin{i + 1}",
+                    )(x)
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
             outs[i] = x

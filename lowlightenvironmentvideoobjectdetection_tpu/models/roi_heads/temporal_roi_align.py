@@ -39,19 +39,22 @@ class TemporalRoIAlign(nn.Module):
         )
         q = roi_e.reshape(roi_n * rh * rw, c)
         kmat = ref_e.reshape(img_n, h * w, c)
-        # [img_n, Q, H*W]
-        sim = jnp.einsum("qc,ipc->iqp", q, kmat,
-                         preferred_element_type=jnp.float32)
-        vals, idx = jax.lax.top_k(sim, k)  # [img_n, Q, k]
-        weights = jax.nn.softmax(vals, axis=-1)
-
         ref_flat = ref_feats.reshape(img_n, h * w, c)
 
-        def per_img(ref_i, idx_i, w_i):
-            gathered = ref_i[idx_i]  # [Q, k, C]
-            return jnp.sum(gathered * w_i[..., None], axis=1)  # [Q, C]
+        # Stream one image at a time (lax.map, sequential): the similarity
+        # matrix is [Q, H*W] per step instead of [img_n, Q, H*W] all at once
+        # (~2 GB at 14 refs x 300 rois x full-res DC5 maps). Each step is one
+        # big MXU matmul, so sequencing costs nothing.
+        def per_img(args):
+            kmat_i, ref_i = args
+            sim = jnp.einsum("qc,pc->qp", q, kmat_i,
+                             preferred_element_type=jnp.float32)
+            vals, idx = jax.lax.top_k(sim, k)  # [Q, k]
+            weights = jax.nn.softmax(vals, axis=-1)
+            gathered = ref_i[idx]  # [Q, k, C]
+            return jnp.sum(gathered * weights[..., None], axis=1)  # [Q, C]
 
-        out = jax.vmap(per_img)(ref_flat, idx, weights)
+        out = jax.lax.map(per_img, (kmat, ref_flat))
         return out.reshape(img_n, roi_n, rh, rw, c)
 
     @nn.compact

@@ -73,9 +73,27 @@ class SelsaConfig:
     # backbones.dark_resnet.DARK_VARIANTS (DarkResNet, ResNet_A, ResNetC, ...)
     backbone_variant: Any = None
     backbone_in_channels: int = 3
+    # extra DarkResNet ctor overrides as a (key, value) tuple-of-pairs
+    # (hashable): e.g. the insert-plugins configs pass plugin_stages and
+    # plugin_type="aggregator" with rdb/taf knobs (reference
+    # insert_resnet.py:93-97)
+    backbone_overrides: Tuple[Tuple[str, Any], ...] = ()
     # stages to freeze (reference default 1, for ImageNet-pretrained warm
     # starts); -1 trains everything (needed when training from scratch)
     frozen_stages: int = 1
+    # key-frame RoI extractor: 'single' (plain RoIAlign,
+    # single_level_roi_extractor.py) or 'temporal' (TemporalRoIAlign with
+    # most-similar-point gather + temporal attention over the reference
+    # feature maps — the reference's selsa_troialign / llvod "selsa_tra"
+    # configs, temporal_roi_align.py:9-207). Reference rois always use the
+    # plain path (the reference passes ref_feats=None for them).
+    roi_extractor: str = "single"
+    troi_similar_points: int = 2
+    troi_attention_blocks: int = 4
+    # shared FCs in the bbox head (one SELSA aggregator per FC): plain SELSA
+    # configs use 2 (selsa_faster_rcnn_r50_dc5_1x_imagenetvid.py:14); the
+    # TemporalRoIAlign / llvod configs use 3 (llvod_*.py:60)
+    num_shared_fcs: int = 2
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -106,6 +124,7 @@ class SelsaDetector(nn.Module):
                 frozen_stages=c.frozen_stages,
                 dtype=c.compute_dtype,
                 name="backbone",
+                **{k: v for k, v in c.backbone_overrides},
             )
         else:
             self.backbone = ResNet(
@@ -129,10 +148,21 @@ class SelsaDetector(nn.Module):
         )
         self.bbox_head = bh.Shared2FCBBoxHead(
             num_classes=c.num_classes,
+            num_shared_fcs=c.num_shared_fcs,
             with_selsa=True,
             dtype=c.head_dtype if c.head_dtype is not None else c.compute_dtype,
             name="bbox_head",
         )
+        if c.roi_extractor == "temporal":
+            from ..roi_heads.temporal_roi_align import TemporalRoIAlign
+
+            self.troi = TemporalRoIAlign(
+                out_channels=c.neck_channels,
+                num_most_similar_points=c.troi_similar_points,
+                num_temporal_attention_blocks=c.troi_attention_blocks,
+                dtype=c.compute_dtype,
+                name="troi",
+            )
 
     def extract_feat(self, imgs: jnp.ndarray):
         """imgs: [T, H, W, 3] normalized. Returns (stage_feats, neck_feat)
@@ -156,6 +186,14 @@ class SelsaDetector(nn.Module):
             sampling_ratio=2,
         )
 
+    def roi_feats_troi(self, neck_feat, rois, batch_inds, ref_maps):
+        """Key-frame RoI features with TemporalRoIAlign aggregation over the
+        reference frames' neck feature maps (temporal_roi_align.py:178-207:
+        plain RoIAlign on the key map, then most-similar gather + temporal
+        attention against ``ref_maps`` [S, h, w, C])."""
+        rf = self.roi_feats(neck_feat, rois, batch_inds)
+        return self.troi(rf, ref_maps)
+
     def bbox_forward(self, x, ref_x, ref_mask):
         return self.bbox_head(x, ref_x, ref_mask)
 
@@ -175,7 +213,11 @@ class SelsaDetector(nn.Module):
         rpn_out = self.rpn_forward(neck_feat)
         dummy_rois = jnp.asarray([[0.0, 0.0, 32.0, 32.0]] * 8)
         dummy_binds = jnp.zeros((8,), jnp.int32)
-        rf = self.roi_feats(neck_feat, dummy_rois, dummy_binds)
+        if self.cfg.roi_extractor == "temporal":
+            rf = self.roi_feats_troi(neck_feat, dummy_rois, dummy_binds,
+                                     neck_feat)
+        else:
+            rf = self.roi_feats(neck_feat, dummy_rois, dummy_binds)
         cls, reg = self.bbox_forward(rf, rf, jnp.ones((8,), bool))
         return rpn_out, cls, reg
 
@@ -250,10 +292,19 @@ def selsa_loss(
         rng_roi, num_classes=cfg.num_classes, num_samples=cfg.num_roi_samples,
     )
 
-    key_rois_feats = model.apply(
-        params, neck_feat[0], tgts.rois, jnp.zeros((tgts.rois.shape[0],), jnp.int32),
-        method=SelsaDetector.roi_feats,
-    )
+    key_binds = jnp.zeros((tgts.rois.shape[0],), jnp.int32)
+    if cfg.roi_extractor == "temporal":
+        # reference selsa_roi_head.py: the key rois aggregate over the ref
+        # frames' feature maps; ref rois use the plain path (ref_feats=None)
+        key_rois_feats = model.apply(
+            params, neck_feat[0], tgts.rois, key_binds, neck_feat[1:],
+            method=SelsaDetector.roi_feats_troi,
+        )
+    else:
+        key_rois_feats = model.apply(
+            params, neck_feat[0], tgts.rois, key_binds,
+            method=SelsaDetector.roi_feats,
+        )
     ref_rois = ref_props.boxes.reshape(-1, 4)
     ref_binds = jnp.repeat(jnp.arange(num_refs, dtype=jnp.int32), cfg.test_nms_post)
     ref_rois_feats = model.apply(
@@ -293,6 +344,10 @@ class VideoState(NamedTuple):
     ref_fc: Tuple[jnp.ndarray, ...]  # per shared-FC stage: [S, P, 1024]
     ref_valid: jnp.ndarray  # [S, P] bool
     next_slot: jnp.ndarray  # [] int32 (fix-stride rolling pointer)
+    # reference neck feature maps [S, h, w, C], kept only when the key-roi
+    # extractor is TemporalRoIAlign (the temporal attention re-reads the raw
+    # maps each frame); None for the plain extractor
+    ref_maps: Optional[jnp.ndarray] = None
 
 
 def init_video_state(
@@ -320,7 +375,9 @@ def init_video_state(
     stages = model.apply(params, rfeats, method=SelsaDetector.ref_transform)
     p = cfg.test_nms_post
     stages = tuple(st.reshape(s, p, -1) for st in stages)
-    return VideoState(stages, props.valid, jnp.asarray(0, jnp.int32))
+    ref_maps = (neck_feat.astype(cfg.compute_dtype)
+                if cfg.roi_extractor == "temporal" else None)
+    return VideoState(stages, props.valid, jnp.asarray(0, jnp.int32), ref_maps)
 
 
 def inference_step(
@@ -354,11 +411,17 @@ def inference_step(
         nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
         iou_threshold=cfg.rpn_nms_iou,
     )
-    rfeats = model.apply(
-        params, neck_feat[0], props.boxes,
-        jnp.zeros((props.boxes.shape[0],), jnp.int32),
-        method=SelsaDetector.roi_feats,
-    )
+    binds = jnp.zeros((props.boxes.shape[0],), jnp.int32)
+    if cfg.roi_extractor == "temporal":
+        rfeats = model.apply(
+            params, neck_feat[0], props.boxes, binds, state.ref_maps,
+            method=SelsaDetector.roi_feats_troi,
+        )
+    else:
+        rfeats = model.apply(
+            params, neck_feat[0], props.boxes, binds,
+            method=SelsaDetector.roi_feats,
+        )
     ref_stages = tuple(
         buf.reshape(-1, buf.shape[-1]) for buf in state.ref_fc)
     ref_mask = state.ref_valid.reshape(-1)
@@ -384,7 +447,13 @@ def inference_step(
         new_slot = jnp.where(
             do, (slot + 1) % state.ref_valid.shape[0], slot
         ).astype(slot.dtype)
-        state = VideoState(new_fc, new_valid, new_slot)
+        new_maps = state.ref_maps
+        if new_maps is not None:
+            new_maps = jnp.where(
+                do, new_maps.at[slot].set(neck_feat[0].astype(new_maps.dtype)),
+                new_maps,
+            )
+        state = VideoState(new_fc, new_valid, new_slot, new_maps)
     return state, dets
 
 

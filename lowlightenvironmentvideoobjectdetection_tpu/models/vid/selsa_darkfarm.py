@@ -137,7 +137,12 @@ class SelsaDarkfarmDetector(nn.Module):
             _, neck_feat = self.denoise_feats(stage_feats, neck_feat)
         rpn_out = self.selsa.rpn_forward(neck_feat)
         dummy_rois = jnp.asarray([[0.0, 0.0, 32.0, 32.0]] * 8)
-        rf = self.selsa.roi_feats(neck_feat, dummy_rois, jnp.zeros((8,), jnp.int32))
+        dummy_binds = jnp.zeros((8,), jnp.int32)
+        if self.cfg.selsa.roi_extractor == "temporal":
+            rf = self.selsa.roi_feats_troi(neck_feat, dummy_rois, dummy_binds,
+                                           neck_feat)
+        else:
+            rf = self.selsa.roi_feats(neck_feat, dummy_rois, dummy_binds)
         out = self.selsa.bbox_forward(rf, rf, jnp.ones((8,), bool))
         if self.cfg.with_cleaner:
             self.cleaner(clean)
@@ -247,11 +252,19 @@ def darkfarm_loss(
         batch.gt_boxes, batch.gt_labels, batch.gt_valid,
         rng_roi, num_classes=scfg.num_classes, num_samples=scfg.num_roi_samples,
     )
-    key_rf = model.apply(
-        params, neck_feat[0], tgts.rois,
-        jnp.zeros((tgts.rois.shape[0],), jnp.int32),
-        method=lambda m, f, r, b: m.selsa.roi_feats(f, r, b),
-    )
+    key_binds = jnp.zeros((tgts.rois.shape[0],), jnp.int32)
+    if scfg.roi_extractor == "temporal":
+        # key rois aggregate over the ref frames' neck maps via
+        # TemporalRoIAlign (reference llvod configs); ref rois stay plain
+        key_rf = model.apply(
+            params, neck_feat[0], tgts.rois, key_binds, neck_feat[1:],
+            method=lambda m, f, r, b, rm: m.selsa.roi_feats_troi(f, r, b, rm),
+        )
+    else:
+        key_rf = model.apply(
+            params, neck_feat[0], tgts.rois, key_binds,
+            method=lambda m, f, r, b: m.selsa.roi_feats(f, r, b),
+        )
     ref_rois = ref_props.boxes.reshape(-1, 4)
     ref_binds = jnp.repeat(jnp.arange(num_refs, dtype=jnp.int32), scfg.test_nms_post)
     ref_rf = model.apply(

@@ -20,6 +20,12 @@ from .registry import MODELS
 
 
 def _selsa_cfg(num_classes=30, pad_h=608, pad_w=1024, out_indices=(3,), **kw):
+    bo = kw.get("backbone_overrides")
+    if isinstance(bo, dict):  # configs write a dict; the dataclass wants a
+        kw["backbone_overrides"] = tuple(  # hashable tuple-of-pairs
+            (k, tuple(v) if isinstance(v, list) else v)
+            for k, v in sorted(bo.items())
+        )
     return SelsaConfig(
         num_classes=num_classes, pad_h=pad_h, pad_w=pad_w,
         out_indices=tuple(out_indices), **kw,

@@ -22,3 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compilation cache: this host has ONE cpu core, so XLA compiles
+# of the model-level test graphs dominate suite runtime (>10 min cold). With
+# the cache warm (kept in /tmp, shared with bench.py and across pytest
+# invocations) the full suite fits the CI budget.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
