@@ -457,6 +457,67 @@ def inference_step(
     return state, dets
 
 
+def inference_clip(
+    model: SelsaDetector,
+    params,
+    state: VideoState,
+    frames: jnp.ndarray,
+    img_shape,
+    scale_factor,
+    anchors,
+    update_memo: bool = False,
+    frame_stride: int = 1,
+):
+    """Whole-clip streaming inference as ONE compiled program.
+
+    frames: [T, H, W, 3]. ``lax.scan`` threads the memo through every frame —
+    the reference's per-frame python loop with host round-trips
+    (apis/test.py:14-75) becomes a single device-resident scan, so a clip
+    costs one dispatch. With ``update_memo`` the fix-stride roll is gated on
+    ``t % frame_stride == 0`` (coco_video_dataset.py:204-218 schedule).
+    Returns (final_state, stacked DetResult with leading frame axis).
+    """
+
+    def step(st, xs):
+        t, fr = xs
+        st, dets = inference_step(
+            model, params, st, fr, img_shape, scale_factor, anchors,
+            update_memo=update_memo, do_update=(t % frame_stride == 0),
+        )
+        return st, dets
+
+    ts = jnp.arange(frames.shape[0], dtype=jnp.int32)
+    return jax.lax.scan(step, state, (ts, frames))
+
+
+def inference_clip_batch(
+    model: SelsaDetector,
+    params,
+    states: VideoState,
+    frames: jnp.ndarray,
+    img_shapes,
+    scale_factors,
+    anchors,
+    update_memo: bool = False,
+    frame_stride: int = 1,
+):
+    """Multi-stream batched clip inference: vmap of ``inference_clip`` over a
+    leading stream axis (frames: [S, T, H, W, 3]; states/img_shapes/
+    scale_factors batched likewise).
+
+    TPU-first throughput design the reference structurally cannot express —
+    it hard-requires samples_per_gpu==1 (selsa.py:133-134) — while one chip
+    here serves S independent video streams per dispatch, keeping the MXU
+    fed at production batch sizes."""
+    def one(st, fr, ishape, sf):
+        return inference_clip(
+            model, params, st, fr, ishape, sf, anchors,
+            update_memo=update_memo, frame_stride=frame_stride,
+        )
+
+    return jax.vmap(one)(states, frames, img_shapes, scale_factors)
+
+
 def make_selsa(cfg: Optional[SelsaConfig] = None):
     """Build (model, anchors). Params come from ``init_params``."""
     cfg = cfg or SelsaConfig()

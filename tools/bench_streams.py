@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+"""Throughput experiment on the real TPU: per-frame step vs whole-clip scan
+vs multi-stream batched scan.
+
+Timing follows bench.py's tunnel-honest methodology: serial data dependency
+(each call's output perturbs the next call's input) + differential between a
+short and a long chain to cancel the end-of-chain readback.
+"""
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+    SelsaConfig,
+    SelsaDetector,
+    VideoState,
+    inference_clip,
+    inference_clip_batch,
+    inference_step,
+    init_params,
+    make_anchors,
+)
+
+
+def fresh_state(cfg, rng, n=None):
+    s, p = cfg.num_ref_frames, cfg.test_nms_post
+    shape = (s, p, 1024) if n is None else (n, s, p, 1024)
+    vshape = (s, p) if n is None else (n, s, p)
+    return VideoState(
+        ref_fc=(jax.random.normal(rng, shape) * 0.1,
+                jax.random.normal(rng, shape) * 0.1),
+        ref_valid=jnp.ones(vshape, bool),
+        next_slot=(jnp.zeros((), jnp.int32) if n is None
+                   else jnp.zeros((n,), jnp.int32)),
+    )
+
+
+def chain_diff(run, short=3, long=13):
+    diffs = []
+    for _ in range(3):
+        t_s, t_l = run(short), run(long)
+        diffs.append(t_l - t_s)
+    diffs.sort()
+    return diffs[1] / (long - short)
+
+
+def main():
+    cfg = SelsaConfig()
+    model = SelsaDetector(cfg=cfg)
+    params = init_params(model, jax.random.PRNGKey(0), small=True)
+    anchors = make_anchors(cfg)
+    img_shape = jnp.asarray([600.0, 1000.0])
+    sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    T = int(os.environ.get("CLIP_T", "16"))
+    results = {}
+
+    # -- mode A: per-frame step (bench.py's current headline) ------------
+    @jax.jit
+    def stepA(params, anchors, st, fr, ishape, sfv):
+        nst, dets = inference_step(model, params, st, fr, ishape, sfv, anchors)
+        return nst, dets, fr + 1e-12 * dets.scores.sum()
+
+    st0 = fresh_state(cfg, jax.random.PRNGKey(1))
+    fr0 = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
+    st, dets, fr = stepA(params, anchors, st0, fr0, img_shape, sf)
+    float(jax.device_get(dets.scores.sum()))
+
+    def runA(n):
+        t0 = time.perf_counter()
+        st, fr = st0, fr0
+        for _ in range(n):
+            st, dets, fr = stepA(params, anchors, st, fr, img_shape, sf)
+        jax.device_get(dets.scores.sum())
+        return time.perf_counter() - t0
+
+    per_call = chain_diff(runA, short=20, long=120)
+    results["step_fps"] = 1.0 / per_call
+
+    # -- mode B: whole-clip scan ----------------------------------------
+    @jax.jit
+    def stepB(params, anchors, st, frames, ishape, sfv):
+        nst, dets = inference_clip(model, params, st, frames, ishape, sfv,
+                                   anchors)
+        return nst, dets, frames + 1e-12 * dets.scores.sum()
+
+    frames0 = jax.random.normal(jax.random.PRNGKey(3),
+                                (T, cfg.pad_h, cfg.pad_w, 3))
+    st, dets, frames = stepB(params, anchors, st0, frames0, img_shape, sf)
+    float(jax.device_get(dets.scores.sum()))
+
+    def runB(n):
+        t0 = time.perf_counter()
+        st, fr = st0, frames0
+        for _ in range(n):
+            st, dets, fr = stepB(params, anchors, st, fr, img_shape, sf)
+        jax.device_get(dets.scores.sum())
+        return time.perf_counter() - t0
+
+    per_call = chain_diff(runB)
+    results["clip_fps"] = T / per_call
+
+    # -- mode C: multi-stream batched scan ------------------------------
+    for S in (2, 4, 8):
+        @jax.jit
+        def stepC(params, anchors, st, frames, ishape, sfv):
+            nst, dets = inference_clip_batch(
+                model, params, st, frames, ishape, sfv, anchors)
+            return nst, dets, frames + 1e-12 * dets.scores.sum()
+
+        stS = fresh_state(cfg, jax.random.PRNGKey(4), n=S)
+        frS = jax.random.normal(jax.random.PRNGKey(5),
+                                (S, T, cfg.pad_h, cfg.pad_w, 3))
+        ishS = jnp.broadcast_to(img_shape, (S, 2))
+        sfS = jnp.broadcast_to(sf, (S, 4))
+        try:
+            st, dets, fr = stepC(params, anchors, stS, frS, ishS, sfS)
+            float(jax.device_get(dets.scores.sum()))
+        except Exception as e:  # OOM at large S
+            results[f"stream{S}_fps"] = f"failed: {type(e).__name__}"
+            continue
+
+        def runC(n):
+            t0 = time.perf_counter()
+            st, fr = stS, frS
+            for _ in range(n):
+                st, dets, fr = stepC(params, anchors, st, fr, ishS, sfS)
+            jax.device_get(dets.scores.sum())
+            return time.perf_counter() - t0
+
+        per_call = chain_diff(runC)
+        results[f"stream{S}_fps"] = S * T / per_call
+
+    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
