@@ -38,11 +38,10 @@ def main():
 
     s, p = cfg.num_ref_frames, cfg.test_nms_post
     rng = jax.random.PRNGKey(1)
+    kv = lambda i: (jax.random.normal(jax.random.fold_in(rng, i), (s, p, 1024)) * 0.1,
+                    jax.random.normal(jax.random.fold_in(rng, i + 10), (s, p, 1024)) * 0.1)
     state = VideoState(
-        ref_fc=(
-            jax.random.normal(rng, (s, p, 1024)) * 0.1,
-            jax.random.normal(rng, (s, p, 1024)) * 0.1,
-        ),
+        ref_kv=(kv(0), kv(1)),
         ref_valid=jnp.ones((s, p), bool),
         next_slot=jnp.zeros((), jnp.int32),
     )

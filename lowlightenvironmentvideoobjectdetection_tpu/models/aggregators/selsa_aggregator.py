@@ -5,13 +5,20 @@ Parity target: mmtracking/mmtrack/models/aggregators/selsa_aggregator.py:8-73
 reference RoI features [M, C], expressed here as einsums that XLA maps onto
 the MXU in one fusion. An optional ``ref_mask`` masks padded reference rois
 (the static-shape replacement for the reference's dynamic roi counts).
+
+For the streaming inference path the projections are split out
+(``project_q`` / ``project_kv`` / ``attend_cached``): the reference-roi K/V
+are computed ONCE per reference frame and cached in the video memo, and the
+attention itself runs as a fused Pallas kernel on TPU
+(ops/fused_attention.py) so the [heads, N, M] score tensor never touches HBM.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -20,7 +27,50 @@ class SelsaAggregator(nn.Module):
     num_attention_blocks: int = 16
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.in_channels
+        self.fc_embed = nn.Dense(c, dtype=self.dtype, name="fc_embed")
+        self.ref_fc_embed = nn.Dense(c, dtype=self.dtype, name="ref_fc_embed")
+        self.ref_fc = nn.Dense(c, dtype=self.dtype, name="ref_fc")
+        self.fc = nn.Dense(c, dtype=self.dtype, name="fc")
+
+    def _split(self, t: jnp.ndarray) -> jnp.ndarray:
+        return t.reshape(-1, self.num_attention_blocks,
+                         self.in_channels // self.num_attention_blocks)
+
+    def project_q(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[N, C] -> [N, nb, hd] query embedding."""
+        return self._split(self.fc_embed(x))
+
+    def project_kv(self, ref_x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[M, C] -> ([M, C], [M, C]) key/value projections (flat, cacheable)."""
+        return self.ref_fc_embed(ref_x), self.ref_fc(ref_x)
+
+    def attend_cached(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        ref_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """q: [N, nb, hd]; k, v: [M, C] cached projections; ref_mask: [M].
+        Fused Pallas attention on TPU, einsum reference elsewhere."""
+        from ...ops.fused_attention import (
+            selsa_attention_reference,
+            selsa_fused_attention,
+        )
+
+        m = k.shape[0]
+        bias = (jnp.where(ref_mask, 0.0, -1e30).astype(jnp.float32)
+                if ref_mask is not None else jnp.zeros((m,), jnp.float32))
+        kk, vv = self._split(k), self._split(v)
+        if jax.default_backend() == "tpu":
+            agg = selsa_fused_attention(q, kk, vv, bias)
+        else:
+            agg = selsa_attention_reference(q, kk, vv, bias)
+        agg = agg.astype(self.dtype).reshape(-1, self.in_channels)
+        return self.fc(agg)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -30,18 +80,16 @@ class SelsaAggregator(nn.Module):
         """x: [N, C]; ref_x: [M, C]; ref_mask: [M] bool (True = real roi).
         Returns aggregated [N, C] (to be residual-added by the caller)."""
         c = self.in_channels
-        nb = self.num_attention_blocks
-        hd = c // nb
-        dense = lambda name: nn.Dense(c, dtype=self.dtype, name=name)
+        hd = c // self.num_attention_blocks
 
-        x_embed = dense("fc_embed")(x).reshape(-1, nb, hd)
-        ref_embed = dense("ref_fc_embed")(ref_x).reshape(-1, nb, hd)
+        x_embed = self._split(self.fc_embed(x))
+        ref_embed = self._split(self.ref_fc_embed(ref_x))
         # [nb, N, M]
         weights = jnp.einsum("nbc,mbc->bnm", x_embed, ref_embed) / (hd ** 0.5)
         if ref_mask is not None:
             weights = jnp.where(ref_mask[None, None, :], weights, -1e30)
         weights = nn.softmax(weights, axis=-1)
 
-        ref_new = dense("ref_fc")(ref_x).reshape(-1, nb, hd)
+        ref_new = self._split(self.ref_fc(ref_x))
         agg = jnp.einsum("bnm,mbc->nbc", weights, ref_new).reshape(-1, c)
-        return dense("fc")(agg)
+        return self.fc(agg)

@@ -147,6 +147,50 @@ class Shared2FCBBoxHead(nn.Module):
             x = nn.relu(x)
         return self._heads(x), tuple(cur_stages)
 
+    def ref_transform_kv(self, ref_x: jnp.ndarray):
+        """Reference-side cached K/V per shared-FC stage: the aggregator's
+        ref projections (ref_fc_embed / ref_fc) of the pre-relu activations.
+        Returns a tuple over stages of (k [M, C], v [M, C]) — what the
+        streaming memo stores, so per-frame attention reads projections
+        directly instead of re-projecting cached activations every frame."""
+        ref_x = ref_x.reshape(ref_x.shape[0], -1).astype(self.dtype)
+        kvs = []
+        for i, fc in enumerate(self.shared_fcs):
+            ref_x = fc(ref_x)
+            kvs.append(self.aggregators[i].project_kv(ref_x))
+            ref_x = nn.relu(ref_x)
+        return tuple(kvs)
+
+    def forward_cached_stream_kv(
+        self,
+        x: jnp.ndarray,
+        ref_kvs,
+        ref_mask: jnp.ndarray,
+        self_mask: jnp.ndarray,
+    ):
+        """KV-cached streaming forward (same math as
+        ``forward_cached_stream``, faster memory layout): attends over cached
+        ref K/V plus this frame's own projected rois, via the fused Pallas
+        attention on TPU. Returns ((cls, reg), cur_kvs) where ``cur_kvs`` is
+        this frame's per-stage (k, v) for the fix-stride memo roll."""
+        assert self.with_selsa
+        x = x.reshape(x.shape[0], -1).astype(self.dtype)
+        cur_kvs = []
+        r = None
+        mask = jnp.concatenate([ref_mask, self_mask])
+        for i, fc in enumerate(self.shared_fcs):
+            xf = fc(x)
+            cur = xf if i == 0 else fc(r)  # ref-side activation, pre-relu
+            r = nn.relu(cur)
+            ck, cv = self.aggregators[i].project_kv(cur)
+            cur_kvs.append((ck, cv))
+            k = jnp.concatenate([ref_kvs[i][0].astype(ck.dtype), ck], axis=0)
+            v = jnp.concatenate([ref_kvs[i][1].astype(cv.dtype), cv], axis=0)
+            q = self.aggregators[i].project_q(xf)
+            x = xf + self.aggregators[i].attend_cached(q, k, v, mask)
+            x = nn.relu(x)
+        return self._heads(x), tuple(cur_kvs)
+
 
 class BBoxTargets(NamedTuple):
     rois: jnp.ndarray  # [num, 4] sampled proposals

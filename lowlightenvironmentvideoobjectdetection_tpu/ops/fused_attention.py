@@ -1,0 +1,101 @@
+"""Fused SELSA cross-frame attention (Pallas TPU kernel).
+
+The streaming SELSA head attends 300 key rois over ~4500 cached reference
+rois with 16 heads (selsa_aggregator.py:47-73). As plain XLA einsums the
+[16, 300, 4500] f32 score tensor is materialized in HBM several times
+(scores, mask, softmax, AV read) — ~0.5 GB of traffic per frame in a
+pipeline that the roofline analysis (tools/bench_streams.py) shows is
+HBM-bandwidth-bound. This kernel keeps the whole per-head score matrix in
+VMEM (300x4608 f32 = 5.5 MB): HBM traffic drops to one read of Q/K/V and one
+write of the output.
+
+Grid = one program per attention head. Per program:
+  S = (Q_h K_h^T) / sqrt(hd) + bias   (MXU matmul, f32 accumulate)
+  P = softmax(S, axis=-1)             (VPU, in VMEM)
+  O = P V_h                           (MXU matmul)
+
+Inference-only (the training path keeps the differentiable einsum form).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    # q: [1, N, hd]; k/v: [1, M, hd]; bias: [1, M]; o: [1, N, hd]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    hd = q.shape[-1]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / (hd ** 0.5))  # [N, M]
+    s = s + bias_ref[:]  # [1, M] broadcasts over rows
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def selsa_fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q: [N, nb, hd]; k, v: [M, nb, hd]; bias: [M] additive f32
+    (0 for live rois, -1e30 for padded). Returns [N, nb, hd] f32."""
+    n, nb, hd = q.shape
+    m = k.shape[0]
+    npad = _round_up(n, 8)
+    mpad = _round_up(m, 128)
+
+    qt = jnp.pad(q, ((0, npad - n), (0, 0), (0, 0))).transpose(1, 0, 2)
+    kt = jnp.pad(k, ((0, mpad - m), (0, 0), (0, 0))).transpose(1, 0, 2)
+    vt = jnp.pad(v, ((0, mpad - m), (0, 0), (0, 0))).transpose(1, 0, 2)
+    bias_p = jnp.pad(bias.astype(jnp.float32), (0, mpad - m),
+                     constant_values=-1e30).reshape(1, mpad)
+
+    out = pl.pallas_call(
+        _attn_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, npad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npad, hd), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, npad, hd), jnp.float32),
+        interpret=interpret,
+    )(qt, kt, vt, bias_p)
+    return out.transpose(1, 0, 2)[:n]
+
+
+def selsa_attention_reference(q, k, v, bias):
+    """Plain-XLA reference of the same math (used on CPU and in tests)."""
+    hd = q.shape[-1]
+    s = jnp.einsum("nbc,mbc->bnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / (hd ** 0.5)
+    s = s + bias.astype(jnp.float32)[None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bnm,mbc->nbc", p, v.astype(jnp.float32))

@@ -1,0 +1,62 @@
+"""KV-cached streaming head (forward_cached_stream_kv + fused attention)
+agrees with the activation-cached streaming head and the joint forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads.bbox_head import (
+    Shared2FCBBoxHead,
+)
+from lowlightenvironmentvideoobjectdetection_tpu.ops.fused_attention import (
+    selsa_attention_reference,
+    selsa_fused_attention,
+)
+
+
+def _inputs(n=8, m=24):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(n, 7, 7, 512).astype(np.float32) * 0.05)
+    ref = jnp.asarray(rng.randn(m, 7, 7, 512).astype(np.float32) * 0.05)
+    ref_mask = jnp.asarray(rng.rand(m) > 0.2)
+    self_mask = jnp.ones((n,), bool)
+    return x, ref, ref_mask, self_mask
+
+
+def test_kv_stream_matches_activation_stream():
+    h = Shared2FCBBoxHead(num_classes=5, with_selsa=True, dtype=jnp.float32)
+    x, ref, ref_mask, self_mask = _inputs()
+    params = h.init(jax.random.PRNGKey(0), x, ref.reshape(ref.shape[0], -1))
+
+    ref_stages = h.apply(params, ref, method=Shared2FCBBoxHead.ref_transform)
+    (cls_a, reg_a), cur_stages = h.apply(
+        params, x, ref_stages, ref_mask, self_mask,
+        method=Shared2FCBBoxHead.forward_cached_stream)
+
+    ref_kvs = h.apply(params, ref, method=Shared2FCBBoxHead.ref_transform_kv)
+    (cls_k, reg_k), cur_kvs = h.apply(
+        params, x, ref_kvs, ref_mask, self_mask,
+        method=Shared2FCBBoxHead.forward_cached_stream_kv)
+
+    np.testing.assert_allclose(np.asarray(cls_k), np.asarray(cls_a),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(reg_k), np.asarray(reg_a),
+                               rtol=1e-4, atol=1e-4)
+    # the memo entries are the projections of the returned activations
+    for (ck, cv), act in zip(cur_kvs, cur_stages):
+        assert ck.shape == (x.shape[0], 1024)
+        assert cv.shape == (x.shape[0], 1024)
+
+
+def test_fused_attention_interpret_matches_reference():
+    rng = np.random.RandomState(2)
+    n, m, nb, hd = 12, 40, 4, 32
+    q = jnp.asarray(rng.randn(n, nb, hd).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.randn(m, nb, hd).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.randn(m, nb, hd).astype(np.float32) * 0.1)
+    bias = jnp.where(jnp.asarray(rng.rand(m) > 0.2), 0.0, -1e30)
+    ref = selsa_attention_reference(q, k, v, bias)
+    out = selsa_fused_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

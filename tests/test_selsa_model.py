@@ -99,7 +99,8 @@ class TestSelsaStream:
         sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 
         state = init_video_state(model, params, ref_imgs, img_shape, anchors)
-        assert state.ref_fc[0].shape == (2, TINY.test_nms_post, 1024)
+        assert state.ref_kv[0][0].shape == (2, TINY.test_nms_post, 1024)
+        assert state.ref_kv[0][1].shape == (2, TINY.test_nms_post, 1024)
 
         frame = jnp.asarray(rng.uniform(-2, 2, (128, 128, 3)).astype(np.float32))
         state2, dets = inference_step(
@@ -110,7 +111,7 @@ class TestSelsaStream:
         assert np.isfinite(np.asarray(dets.scores)).all()
         # adaptive-stride mode: memo unchanged
         np.testing.assert_array_equal(
-            np.asarray(state2.ref_fc[0]), np.asarray(state.ref_fc[0])
+            np.asarray(state2.ref_kv[0][0]), np.asarray(state.ref_kv[0][0])
         )
 
     def test_streaming_memo_update(self, system):
@@ -126,8 +127,8 @@ class TestSelsaStream:
         assert int(state2.next_slot) == 1
         # slot 0 replaced
         assert not np.allclose(
-            np.asarray(state2.ref_fc[0][0]), np.asarray(state.ref_fc[0][0])
+            np.asarray(state2.ref_kv[0][0][0]), np.asarray(state.ref_kv[0][0][0])
         )
         np.testing.assert_array_equal(
-            np.asarray(state2.ref_fc[0][1]), np.asarray(state.ref_fc[0][1])
+            np.asarray(state2.ref_kv[0][0][1]), np.asarray(state.ref_kv[0][0][1])
         )

@@ -33,9 +33,10 @@ def fresh_state(cfg, rng, n=None):
     s, p = cfg.num_ref_frames, cfg.test_nms_post
     shape = (s, p, 1024) if n is None else (n, s, p, 1024)
     vshape = (s, p) if n is None else (n, s, p)
+    kv = lambda i: (jax.random.normal(jax.random.fold_in(rng, i), shape) * 0.1,
+                    jax.random.normal(jax.random.fold_in(rng, i + 10), shape) * 0.1)
     return VideoState(
-        ref_fc=(jax.random.normal(rng, shape) * 0.1,
-                jax.random.normal(rng, shape) * 0.1),
+        ref_kv=(kv(0), kv(1)),
         ref_valid=jnp.ones(vshape, bool),
         next_slot=(jnp.zeros((), jnp.int32) if n is None
                    else jnp.zeros((n,), jnp.int32)),

@@ -49,8 +49,9 @@ def main():
     c = model.cfg
 
     s, ppost = c.num_ref_frames, c.test_nms_post
+    zz = lambda: (jnp.zeros((s, ppost, 1024)), jnp.zeros((s, ppost, 1024)))
     state = S.VideoState(
-        ref_fc=(jnp.zeros((s, ppost, 1024)), jnp.zeros((s, ppost, 1024))),
+        ref_kv=(zz(), zz()),
         ref_valid=jnp.ones((s, ppost), bool),
         next_slot=jnp.zeros((), jnp.int32),
     )
