@@ -53,6 +53,9 @@ DARKFARM_TYPES = {
 # oracle baselines train on the CLEAN half of the pair
 # (reference selsa_clean_detect.py / selsa_clean_darkfarm_detect.py)
 CLEAN_TYPES = {"SelsaCleanDetect", "SelsaCleanDarkfarmDetect"}
+# plain image detectors trainable through this CLI (the reference flips to
+# the mmdet trainer via USE_MMDET, tools/train.py:69-76)
+DET_TYPES = {"FasterRCNN", "RetinaNet", "YOLOV3"}
 
 
 def build_system(cfg, tiny: bool):
@@ -68,9 +71,14 @@ def build_system(cfg, tiny: bool):
     mcfg = dict(cfg["model"])
     mtype = mcfg.pop("type")
     if tiny:
-        mcfg.update(TINY_KW)
-        mcfg["compute_dtype"] = jnp.float32
-    model, anchors = MODELS.get(mtype)(**mcfg)
+        if mtype in ("RetinaNet", "YOLOV3"):
+            # plain flax detectors: no shape-bucket config to shrink
+            mcfg["dtype"] = jnp.float32
+        else:
+            mcfg.update(TINY_KW)
+            mcfg["compute_dtype"] = jnp.float32
+    built = MODELS.get(mtype)(**mcfg)
+    model, anchors = built if isinstance(built, tuple) else (built, None)
 
     if mtype in DARKFARM_TYPES:
         from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa_darkfarm import (
@@ -134,7 +142,71 @@ def build_system(cfg, tiny: bool):
                 imgs = jnp.concatenate([imgs, imgs], axis=-1)
             return FastDVDBatch(imgs, d["img_shape"], d["gt_boxes"],
                                 d["gt_labels"], d["gt_valid"])
-    else:  # SELSA / FGFA / DFF / FasterRCNN families
+    elif mtype in DET_TYPES:
+        # the reference's USE_MMDET switch (tools/train.py:69-76): plain
+        # image-detector training on CocoDataset-style data
+        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.faster_rcnn import (
+            DetTrainBatch, faster_rcnn_loss,
+        )
+
+        if mtype == "FasterRCNN":
+            scfg = model.cfg
+
+            def loss_fn(variables, batch, rng):
+                return faster_rcnn_loss(model, variables, batch, rng, anchors)
+        elif mtype == "RetinaNet":
+            from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
+                retina_head as rh,
+            )
+
+            scfg = None
+            gen = anchors  # builder returns the anchor GENERATOR
+
+            def loss_fn(variables, batch, rng):
+                outs = model.apply(variables, batch.img[None])
+                shapes = [(o[0].shape[1], o[0].shape[2]) for o in outs]
+                ancs = [jnp.asarray(a) for a in gen.grid_anchors(shapes)]
+                flat = [(o[0][0], o[1][0]) for o in outs]
+                l = rh.retina_loss(
+                    flat, ancs, batch.gt_boxes, batch.gt_labels,
+                    batch.gt_valid, batch.img_shape,
+                    num_classes=model.num_classes)
+                total = l.loss_cls + l.loss_bbox
+                return total, {"loss": total, "loss_cls": l.loss_cls,
+                               "loss_bbox": l.loss_bbox}
+        else:  # YOLOV3
+            from lowlightenvironmentvideoobjectdetection_tpu.models.detectors import (
+                yolov3 as yv,
+            )
+
+            scfg = None
+
+            def loss_fn(variables, batch, rng):
+                preds = model.apply(variables, batch.img[None])
+                preds = [p[0] for p in preds]
+                l = yv.yolo_loss(preds, batch.gt_boxes, batch.gt_labels,
+                                 batch.gt_valid, model.num_classes)
+                total = l.loss_cls + l.loss_conf + l.loss_xy + l.loss_wh
+                return total, {"loss": total, "loss_cls": l.loss_cls,
+                               "loss_conf": l.loss_conf}
+
+        ph = getattr(scfg, "pad_h", 608)
+        pw = getattr(scfg, "pad_w", 1024)
+
+        def synth(rng):
+            return DetTrainBatch(
+                img=jnp.asarray(
+                    rng.uniform(-2, 2, (ph, pw, 3)).astype(np.float32)),
+                img_shape=jnp.asarray([float(ph), float(pw)]),
+                gt_boxes=jnp.asarray([[8.0, 8.0, 40.0, 40.0]] * 4),
+                gt_labels=jnp.asarray([1] * 4, jnp.int32),
+                gt_valid=jnp.asarray([True, True, False, False]),
+            )
+
+        def make_batch(d):
+            return DetTrainBatch(d["imgs"][0], d["img_shape"], d["gt_boxes"],
+                                 d["gt_labels"], d["gt_valid"])
+    else:  # SELSA / FGFA / DFF families
         from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
             TrainBatch, selsa_loss,
         )
@@ -172,15 +244,24 @@ def dataset_iterator(cfg, model, max_gts: int = 32):
     from lowlightenvironmentvideoobjectdetection_tpu.data.datasets import (
         DarkFarmVIDDataset, ImagenetVIDDataset,
     )
+    from lowlightenvironmentvideoobjectdetection_tpu.data.coco_det import (
+        CocoDataset,
+    )
     from lowlightenvironmentvideoobjectdetection_tpu.data.pipelines import Compose
 
     dcfg = cfg["data"]["train"]
-    ds_cls = {"ImagenetVIDDataset": ImagenetVIDDataset,
-              "DarkFarmVIDDataset": DarkFarmVIDDataset}[dcfg["type"]]
-    ds = ds_cls(ann_file=dcfg["ann_file"], img_prefix=dcfg.get("img_prefix", ""),
-                ref_img_sampler=dict(dcfg.get("ref_img_sampler") or {}))
+    if dcfg["type"] == "CocoDataset":
+        ds = CocoDataset(ann_file=dcfg["ann_file"],
+                         img_prefix=dcfg.get("img_prefix", ""))
+    else:
+        ds_cls = {"ImagenetVIDDataset": ImagenetVIDDataset,
+                  "DarkFarmVIDDataset": DarkFarmVIDDataset}[dcfg["type"]]
+        ds = ds_cls(ann_file=dcfg["ann_file"],
+                    img_prefix=dcfg.get("img_prefix", ""),
+                    ref_img_sampler=dict(dcfg.get("ref_img_sampler") or {}))
     pipe = Compose(dcfg["pipeline"])
-    scfg = getattr(model.cfg, "selsa", model.cfg)
+    mcfg_attr = getattr(model, "cfg", None)
+    scfg = getattr(mcfg_attr, "selsa", mcfg_attr) if mcfg_attr is not None else None
 
     def pad_gts(b, l):
         g = np.zeros((max_gts, 4), np.float32)
@@ -190,18 +271,30 @@ def dataset_iterator(cfg, model, max_gts: int = 32):
         g[:n], lab[:n], val[:n] = b[:n], l[:n], True
         return g, lab, val
 
+    image_ds = dcfg["type"] == "CocoDataset"
     while True:
         for i in np.random.permutation(len(ds)):
             s = ds[int(i)]
-            frames = [dict(img_info=s["img_info"], ann=s["ann"],
-                           img_prefix=ds.img_prefix)]
-            for r, a in zip(s.get("ref_img_infos", []),
-                            s.get("ref_anns", [])):
-                frames.append(dict(img_info=r, ann=a, img_prefix=ds.img_prefix))
-            out = pipe(frames)
-            imgs = np.concatenate([out["img"][None], out["ref_img"]], axis=0)
+            if image_ds:
+                # single-image pipeline: transforms operate on one dict
+                out = pipe(dict(img_info=s["img_info"], ann=s["ann"],
+                                img_prefix=ds.img_prefix))
+            else:
+                frames = [dict(img_info=s["img_info"], ann=s["ann"],
+                               img_prefix=ds.img_prefix)]
+                for r, a in zip(s.get("ref_img_infos", []),
+                                s.get("ref_anns", [])):
+                    frames.append(dict(img_info=r, ann=a,
+                                       img_prefix=ds.img_prefix))
+                out = pipe(frames)
+            if "ref_img" in out:
+                imgs = np.concatenate([out["img"][None], out["ref_img"]],
+                                      axis=0)
+            else:  # image dataset: no reference frames
+                imgs = out["img"][None]
             # pad to the static bucket
-            ph, pw = scfg.pad_h, scfg.pad_w
+            ph = getattr(scfg, "pad_h", 608)
+            pw = getattr(scfg, "pad_w", 1024)
             canvas = np.zeros((imgs.shape[0], ph, pw, imgs.shape[-1]),
                               np.float32)
             h, w = min(imgs.shape[1], ph), min(imgs.shape[2], pw)
@@ -282,8 +375,8 @@ def main():
     # init params
     import jax.numpy as jnp
 
-    scfg = getattr(model.cfg, "selsa", model.cfg)
-    in_ch = 2 * getattr(model.cfg, "in_channels", 3) \
+    mcfg_attr = getattr(model, "cfg", None)
+    in_ch = 2 * getattr(mcfg_attr, "in_channels", 3) \
         if type(model).__name__ in ("SelsaDarkfarmDetector",
                                     "FastDVDSelsaDetector") else 3
     variables = jax.jit(model.init)(
