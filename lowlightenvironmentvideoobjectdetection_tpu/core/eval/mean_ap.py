@@ -59,16 +59,27 @@ def _ap_area(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def _ap_11points(recall: np.ndarray, precision: np.ndarray) -> float:
+    """VOC2007 11-point interpolated AP (mmdet mean_ap.py:12 '11points')."""
+    ap = 0.0
+    for thr in np.arange(0.0, 1.0 + 1e-3, 0.1):
+        precs = precision[recall >= thr]
+        ap += (precs.max() if precs.size else 0.0) / 11.0
+    return float(ap)
+
+
 def eval_map(
     det_results: Sequence[Sequence[np.ndarray]],
     annotations: Sequence[Dict],
     iou_thr: float = 0.5,
+    mode: str = "area",
 ) -> Tuple[float, List[Dict]]:
     """VOC-style mAP.
 
     det_results: per image, per class [N, 5] arrays.
     annotations: per image dicts with 'bboxes' [G, 4] and 'labels' [G].
-    Returns (mAP, per-class list of dicts with ap/recall/precision/num_gts).
+    mode: 'area' (VOC2012+/COCO-style envelope area) or '11points'
+    (VOC2007). Returns (mAP, per-class list of dicts).
     """
     num_classes = len(det_results[0])
     eval_results = []
@@ -99,7 +110,8 @@ def eval_map(
         fp = np.cumsum(np.concatenate(fps)[order])
         recall = tp / num_gts
         precision = tp / np.maximum(tp + fp, 1e-9)
-        ap = _ap_area(recall, precision)
+        ap = (_ap_11points(recall, precision) if mode == "11points"
+              else _ap_area(recall, precision))
         eval_results.append(
             dict(ap=ap, num_gts=num_gts, num_dets=len(scores),
                  recall=float(recall[-1]) if len(recall) else 0.0)

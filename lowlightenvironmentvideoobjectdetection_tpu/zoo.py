@@ -253,8 +253,11 @@ def _register_datasets():
     from .registry import DATASETS
 
     from .data.coco_det import CocoDataset
+    from .data.voc import VOCDataset, XMLDataset
 
     DATASETS.register("CocoDataset")(CocoDataset)
+    DATASETS.register("XMLDataset")(XMLDataset)
+    DATASETS.register("VOCDataset")(VOCDataset)
     DATASETS.register("CocoVideoDataset")(CocoVideoDataset)
     DATASETS.register("ImagenetVIDDataset")(ImagenetVIDDataset)
     DATASETS.register("DarkFarmVIDDataset")(DarkFarmVIDDataset)
