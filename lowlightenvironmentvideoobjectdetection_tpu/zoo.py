@@ -255,9 +255,20 @@ def _register_datasets():
     from .data.coco_det import CocoDataset
     from .data.voc import VOCDataset, XMLDataset
 
+    from .data.extra_datasets import (
+        CityscapesDataset, DeepFashionDataset, LVISV1Dataset, LVISV05Dataset,
+        WIDERFaceDataset,
+    )
+
     DATASETS.register("CocoDataset")(CocoDataset)
     DATASETS.register("XMLDataset")(XMLDataset)
     DATASETS.register("VOCDataset")(VOCDataset)
+    DATASETS.register("CityscapesDataset")(CityscapesDataset)
+    DATASETS.register("DeepFashionDataset")(DeepFashionDataset)
+    DATASETS.register("WIDERFaceDataset")(WIDERFaceDataset)
+    DATASETS.register("LVISDataset")(LVISV05Dataset)
+    DATASETS.register("LVISV05Dataset")(LVISV05Dataset)
+    DATASETS.register("LVISV1Dataset")(LVISV1Dataset)
     DATASETS.register("CocoVideoDataset")(CocoVideoDataset)
     DATASETS.register("ImagenetVIDDataset")(ImagenetVIDDataset)
     DATASETS.register("DarkFarmVIDDataset")(DarkFarmVIDDataset)

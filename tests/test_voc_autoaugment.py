@@ -114,3 +114,26 @@ class TestAutoAugment:
     def test_instaboost_gated(self):
         with pytest.raises(ImportError):
             PIPELINES.get("InstaBoost")()
+
+
+class TestExtraDatasets:
+    def test_lvis_reads_coco_shaped_json(self, tmp_path):
+        import json as _json
+
+        ann = dict(
+            images=[dict(id=1, file_name="a.jpg", width=8, height=8)],
+            annotations=[dict(id=1, image_id=1, category_id=7,
+                              bbox=[1, 1, 4, 4], area=16, iscrowd=0)],
+            categories=[dict(id=7, name="zebra"), dict(id=3, name="ant")],
+        )
+        p = tmp_path / "lvis.json"
+        p.write_text(_json.dumps(ann))
+        ds = DATASETS.get("LVISV1Dataset")(ann_file=str(p))
+        assert ds.CLASSES == ("ant", "zebra")
+        s = ds[0]
+        assert ds.CLASSES[int(s["ann"]["labels"][0])] == "zebra"
+
+    def test_registered_classes(self):
+        assert DATASETS.get("CityscapesDataset").CLASSES[0] == "person"
+        assert DATASETS.get("WIDERFaceDataset").CLASSES == ("face",)
+        assert len(DATASETS.get("DeepFashionDataset").CLASSES) == 15
