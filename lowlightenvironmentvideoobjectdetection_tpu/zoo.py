@@ -590,3 +590,105 @@ def _register_backbones_round2b():
 
 
 _register_backbones_round2b()
+
+
+@MODELS.register("FastRCNN")
+def build_fast_rcnn(num_classes: int = 80, **kw):
+    """Fast R-CNN over precomputed proposals (reference: mmdet
+    fast_rcnn.py)."""
+    from .models.detectors.more_rcnn import FastRCNN
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    from .models.vid.selsa import make_anchors
+
+    return FastRCNN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("RPN")
+def build_rpn(num_classes: int = 1, **kw):
+    """Standalone region proposal network (reference: mmdet rpn.py)."""
+    from .models.detectors.more_rcnn import RPN
+    from .models.vid.selsa import make_anchors
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return RPN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("MaskScoringRCNN")
+def build_mask_scoring_rcnn(num_classes: int = 80, **kw):
+    """Mask Scoring R-CNN (reference: mask_scoring_rcnn.py +
+    maskiou_head.py)."""
+    from .models.detectors.more_rcnn import MaskScoringRCNN
+    from .models.vid.selsa import make_anchors
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return MaskScoringRCNN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("PointRend")
+def build_point_rend(num_classes: int = 80, **kw):
+    """PointRend mask refinement (reference: point_rend.py +
+    point_rend_roi_head.py)."""
+    from .models.detectors.more_rcnn import PointRendRCNN
+    from .models.vid.selsa import make_anchors
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return PointRendRCNN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("GridRCNN")
+def build_grid_rcnn(num_classes: int = 80, **kw):
+    """Grid R-CNN border-heatmap localization (reference: grid_rcnn.py +
+    grid_head.py)."""
+    from .models.detectors.more_rcnn import GridRCNN
+    from .models.vid.selsa import make_anchors
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return GridRCNN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("TridentFasterRCNN")
+def build_trident_faster_rcnn(num_classes: int = 80, **kw):
+    """Trident Faster R-CNN (reference: trident_faster_rcnn.py)."""
+    from .models.detectors.more_rcnn import TridentFasterRCNN
+    from .models.vid.selsa import make_anchors
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return TridentFasterRCNN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("HybridTaskCascade")
+@MODELS.register("HTC")
+def build_htc(num_classes: int = 80, **kw):
+    """Hybrid Task Cascade (reference: htc.py + htc_roi_head.py)."""
+    from .models.detectors.htc import make_htc
+
+    return make_htc(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+@MODELS.register("SCNet")
+def build_scnet(num_classes: int = 80, **kw):
+    """SCNet (reference: scnet.py — HTC + feature relay/global context)."""
+    from .models.detectors.htc import make_htc
+
+    return make_htc(_selsa_cfg(num_classes=num_classes, **kw), scnet=True)
+
+
+@MODELS.register("GuidedAnchoring")
+@MODELS.register("GARetinaNet")
+def build_ga_retinanet(num_classes: int = 80, **kw):
+    """Guided-anchoring RetinaNet (reference: guided_anchor_head.py:4
+    GARetinaHead — anchor shape/loc prediction + DeformConv feature
+    adaption)."""
+    from .models.dense_heads.guided_anchor_head import GARetinaHead
+
+    return GARetinaHead(num_classes=num_classes, **kw)
+
+
+@MODELS.register("CascadeRPN")
+def build_cascade_rpn(**kw):
+    """Cascade RPN (reference: cascade_rpn_head.py — stage-wise anchor
+    refinement with adaptive convs)."""
+    from .models.dense_heads.cascade_rpn_head import CascadeRPNHead
+
+    return CascadeRPNHead(**kw)
