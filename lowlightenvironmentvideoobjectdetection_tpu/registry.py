@@ -62,6 +62,7 @@ TRACKERS = Registry("trackers")
 REID = Registry("reid")
 DATASETS = Registry("datasets")
 PIPELINES = Registry("pipelines")
+LOSSES = Registry("losses")
 
 
 def build_model(cfg: Dict[str, Any], **extra):

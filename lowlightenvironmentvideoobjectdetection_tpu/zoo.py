@@ -692,3 +692,31 @@ def build_cascade_rpn(**kw):
     from .models.dense_heads.cascade_rpn_head import CascadeRPNHead
 
     return CascadeRPNHead(**kw)
+
+
+def _register_losses():
+    """LOSSES registry with the reference's type names
+    (mmdet/models/losses/__init__.py) bound to the pure-JAX loss fns."""
+    from .core import losses as L
+    from .registry import LOSSES
+
+    LOSSES.register("CrossEntropyLoss")(L.softmax_cross_entropy)
+    LOSSES.register("BinaryCrossEntropyLoss")(L.binary_cross_entropy)
+    LOSSES.register("FocalLoss")(L.sigmoid_focal_loss)
+    LOSSES.register("SmoothL1Loss")(L.smooth_l1_loss)
+    LOSSES.register("L1Loss")(L.l1_loss)
+    LOSSES.register("MSELoss")(L.mse_loss)
+    LOSSES.register("L2Loss")(L.l2_loss_hard_mining)
+    LOSSES.register("IoULoss")(L.iou_loss)
+    LOSSES.register("GIoULoss")(L.giou_loss)
+    LOSSES.register("DIoULoss")(L.diou_loss)
+    LOSSES.register("CIoULoss")(L.ciou_loss)
+    LOSSES.register("BoundedIoULoss")(L.bounded_iou_loss)
+    LOSSES.register("BalancedL1Loss")(L.balanced_l1_loss)
+    LOSSES.register("GHMC")(L.ghm_c_loss)
+    LOSSES.register("GHMR")(L.ghm_r_loss)
+    LOSSES.register("GaussianFocalLoss")(L.gaussian_focal_loss)
+    LOSSES.register("AssociativeEmbeddingLoss")(L.ae_loss)
+
+
+_register_losses()
