@@ -137,3 +137,35 @@ class TestExtraDatasets:
         assert DATASETS.get("CityscapesDataset").CLASSES[0] == "person"
         assert DATASETS.get("WIDERFaceDataset").CLASSES == ("face",)
         assert len(DATASETS.get("DeepFashionDataset").CLASSES) == 15
+
+
+class TestCorruptions:
+    def test_all_corruptions_run_and_change_image(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.data.pipelines.corruptions import (
+            CORRUPTIONS,
+        )
+
+        rng = np.random.RandomState(0)
+        base = rng.randint(30, 220, (32, 40, 3)).astype(np.float32)
+        for name in CORRUPTIONS:
+            t = PIPELINES.get("Corrupt")(corruption=name, severity=3)
+            r = t(dict(img=base.copy()))
+            assert r["img"].shape == base.shape, name
+            assert np.isfinite(r["img"]).all(), name
+            assert not np.allclose(r["img"], base), name
+            assert r["img"].min() >= 0 and r["img"].max() <= 255
+
+    def test_severity_monotone_for_gaussian(self):
+        rng = np.random.RandomState(1)
+        base = rng.randint(60, 200, (32, 40, 3)).astype(np.float32)
+        np.random.seed(0)
+        d1 = np.abs(PIPELINES.get("Corrupt")("gaussian_noise", 1)(
+            dict(img=base.copy()))["img"] - base).mean()
+        np.random.seed(0)
+        d5 = np.abs(PIPELINES.get("Corrupt")("gaussian_noise", 5)(
+            dict(img=base.copy()))["img"] - base).mean()
+        assert d5 > d1
+
+    def test_unknown_corruption_raises(self):
+        with pytest.raises(KeyError):
+            PIPELINES.get("Corrupt")(corruption="nope")
