@@ -94,6 +94,8 @@ class SelsaConfig:
     # configs use 2 (selsa_faster_rcnn_r50_dc5_1x_imagenetvid.py:14); the
     # TemporalRoIAlign / llvod configs use 3 (llvod_*.py:60)
     num_shared_fcs: int = 2
+    # 'xla' (separable-matmul, default) or 'pallas' (VMEM-resident kernel)
+    roi_align_impl: str = "xla"
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -178,12 +180,15 @@ class SelsaDetector(nn.Module):
     def roi_feats(self, neck_feat, rois, batch_inds):
         """RoIAlign 7x7 at stride 16 (aligned, sampling_ratio=2).
 
-        Single-image on TPU: the Pallas kernel (ops/roi_align_pallas.py)
-        keeps the neck map and the separable-interp intermediate in VMEM —
-        ~0.6 GB/frame of HBM traffic in the XLA form drops to one map read.
+        ``cfg.roi_align_impl='pallas'`` switches the single-image TPU path
+        to the VMEM-resident Pallas kernel (ops/roi_align_pallas.py) —
+        exact vs the XLA form, but measured ~5% slower end-to-end on the
+        tunneled v5e (the kernel re-fetches the 2.5 MB neck map per grid
+        step), so the XLA separable-matmul path stays the default.
         """
         single = neck_feat.ndim == 3 or neck_feat.shape[0] == 1
-        if single and jax.default_backend() == "tpu":
+        if (single and self.cfg.roi_align_impl == "pallas"
+                and jax.default_backend() == "tpu"):
             from ...ops.roi_align_pallas import roi_align_pallas
 
             f = neck_feat if neck_feat.ndim == 3 else neck_feat[0]
