@@ -1,0 +1,501 @@
+"""Per-family CLI adapters: build/loss/detect for every registered
+image-detector type.
+
+Replaces the hardcoded three-family branch in tools/train.py (reference
+USE_MMDET switch, mmtracking/tools/train.py:69-76) and the
+faster_rcnn-only dispatch in apis.inference.DetectorModel (reference
+mmdet/apis/inference.py:89 inference_detector works for EVERY registered
+detector) with one table: each entry knows how to
+
+- ``build(mcfg, tiny)``   -> (model, aux)  — aux is the anchors array /
+  anchor generator / None, whatever the family's functions take,
+- ``loss(model, aux, variables, batch, rng)`` -> (total, metrics) on the
+  standard ``DetTrainBatch`` (masks/proposals synthesized when the family
+  needs them and the batch lacks them),
+- ``detect(model, aux, variables, img, img_shape, scale_factor)`` ->
+  ``DetResult`` (mask families' masks are dropped at this API level; use
+  the family modules directly for instance masks).
+
+Every adapter mirrors the invocation its family's unit test established —
+the table is the single source of truth for "how do I run family X".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Family(NamedTuple):
+    build: Callable  # (mcfg: dict, tiny: bool) -> (model, aux)
+    loss: Callable  # (model, aux, variables, batch, rng) -> (total, metrics)
+    detect: Optional[Callable]  # (model, aux, variables, img, img_shape, sf)
+    needs_masks: bool = False
+    needs_proposals: bool = False
+    # synthetic-batch / init image size when the model is not
+    # SelsaConfig-bucketed (None = use cfg.pad_h/pad_w)
+    input_hw: Optional[Tuple[int, int]] = None
+
+
+FAMILIES: dict = {}
+
+
+def register(name, **kw):
+    def deco(fns):
+        FAMILIES[name] = Family(**fns, **kw)
+        return fns
+    return deco
+
+
+def _total(nt) -> Tuple[jnp.ndarray, dict]:
+    """Sum a loss NamedTuple into (total, metrics)."""
+    d = {k: v for k, v in zip(nt._fields, nt)}
+    total = sum(jnp.asarray(v) for v in nt)
+    d["loss"] = total
+    return total, d
+
+
+TINY_KW = dict(pad_h=64, pad_w=64, train_nms_pre=64, train_nms_post=32,
+               test_nms_pre=64, test_nms_post=16, num_roi_samples=16)
+
+
+def _zoo_build(mtype):
+    def build(mcfg, tiny):
+        from ..registry import MODELS
+        from .. import zoo  # noqa: F401
+
+        mcfg = dict(mcfg)
+        if tiny:
+            mcfg.update(TINY_KW)
+            mcfg["compute_dtype"] = jnp.float32
+        built = MODELS.get(mtype)(**mcfg)
+        return built if isinstance(built, tuple) else (built, None)
+    return build
+
+
+def _dense_build(mtype, tiny_kw=None):
+    def build(mcfg, tiny):
+        from ..registry import MODELS
+        from .. import zoo  # noqa: F401
+
+        mcfg = dict(mcfg)
+        if tiny:
+            mcfg["dtype"] = jnp.float32
+            mcfg.update(tiny_kw or {})
+        built = MODELS.get(mtype)(**mcfg)
+        return built if isinstance(built, tuple) else (built, None)
+    return build
+
+
+def _box_masks(batch, hw):
+    """Box-filled instance masks when the dataset provides none."""
+    h, w = hw
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    b = batch.gt_boxes
+    return ((yy >= b[:, 1, None, None]) & (yy < b[:, 3, None, None])
+            & (xx >= b[:, 0, None, None]) & (xx < b[:, 2, None, None])
+            ).astype(jnp.float32)
+
+
+def _as_mask_batch(batch):
+    from ..models.detectors.mask_rcnn import MaskTrainBatch
+
+    masks = getattr(batch, "gt_masks", None)
+    if masks is None:
+        masks = _box_masks(batch, batch.img.shape[:2])
+    return MaskTrainBatch(batch.img, batch.img_shape, batch.gt_boxes,
+                          batch.gt_labels, batch.gt_valid, masks)
+
+
+def _grid_proposals(hw, n=64):
+    """Deterministic proposal grid for FastRCNN when no proposal file is
+    given (the reference evaluates FastRCNN on precomputed proposals).
+    ``hw`` must be STATIC (python ints — e.g. the image array's shape, not
+    the traced img_shape vector)."""
+    h, w = float(hw[0]), float(hw[1])
+    side = int(np.sqrt(n))
+    ys = np.linspace(0, h * 0.5, side)
+    xs = np.linspace(0, w * 0.5, side)
+    boxes = [[x, y, min(x + w * 0.5, w), min(y + h * 0.5, h)]
+             for y in ys for x in xs]
+    return (jnp.asarray(boxes, jnp.float32),
+            jnp.ones((len(boxes),), bool))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage families (SelsaConfig-bucketed; aux = anchors array)
+# ---------------------------------------------------------------------------
+
+
+def _faster_rcnn_fns():
+    from ..models.detectors import faster_rcnn as fr
+
+    return dict(
+        build=_zoo_build("FasterRCNN"),
+        loss=lambda m, a, v, b, r: fr.faster_rcnn_loss(m, v, b, r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: fr.faster_rcnn_detect(
+            m, v, img, ishape, a, scale_factor=sf),
+    )
+
+
+def _register_two_stage():
+    from ..models.detectors import cascade_rcnn as cr
+    from ..models.detectors import htc as H
+    from ..models.detectors import mask_rcnn as mr
+    from ..models.detectors import more_rcnn as mrc
+
+    FAMILIES["FasterRCNN"] = Family(**_faster_rcnn_fns())
+    FAMILIES["CascadeRCNN"] = Family(
+        build=_zoo_build("CascadeRCNN"),
+        loss=lambda m, a, v, b, r: cr.cascade_loss(m, v, b, r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: cr.cascade_detect(
+            m, v, img, ishape, a, scale_factor=sf))
+    FAMILIES["MaskRCNN"] = Family(
+        build=_zoo_build("MaskRCNN"),
+        loss=lambda m, a, v, b, r: mr.mask_rcnn_loss(
+            m, v, _as_mask_batch(b), r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: mr.mask_rcnn_detect(
+            m, v, img, ishape, a, scale_factor=sf)[0],
+        needs_masks=True)
+    for name, scnet in (("HTC", False), ("HybridTaskCascade", False),
+                        ("SCNet", True)):
+        FAMILIES[name] = Family(
+            build=_zoo_build(name),
+            loss=lambda m, a, v, b, r: H.htc_loss(
+                m, v, _as_mask_batch(b), r, a),
+            detect=lambda m, a, v, img, ishape, sf=None: H.htc_detect(
+                m, v, img, ishape, a, scale_factor=sf)[0],
+            needs_masks=True)
+    FAMILIES["MaskScoringRCNN"] = Family(
+        build=_zoo_build("MaskScoringRCNN"),
+        loss=lambda m, a, v, b, r: mrc.mask_scoring_loss(
+            m, v, _as_mask_batch(b), r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: mrc.mask_scoring_detect(
+            m, v, img, ishape, a, scale_factor=sf)[0],
+        needs_masks=True)
+    FAMILIES["PointRend"] = Family(
+        build=_zoo_build("PointRend"),
+        loss=lambda m, a, v, b, r: mrc.point_rend_loss(
+            m, v, _as_mask_batch(b), r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: mrc.point_rend_detect(
+            m, v, img, ishape, a, scale_factor=sf)[0],
+        needs_masks=True)
+    FAMILIES["GridRCNN"] = Family(
+        build=_zoo_build("GridRCNN"),
+        loss=lambda m, a, v, b, r: mrc.grid_rcnn_loss(m, v, b, r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: mrc.grid_rcnn_detect(
+            m, v, img, ishape, a, scale_factor=sf))
+    FAMILIES["TridentFasterRCNN"] = Family(
+        build=_zoo_build("TridentFasterRCNN"),
+        loss=lambda m, a, v, b, r: mrc.trident_loss(m, v, b, r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: mrc.trident_detect(
+            m, v, img, ishape, a, scale_factor=sf))
+
+    def fast_loss(m, a, v, b, r):
+        props, pv = _grid_proposals(b.img.shape[:2])
+        fb = mrc.FastRCNNBatch(b.img, b.img_shape, props, pv, b.gt_boxes,
+                               b.gt_labels, b.gt_valid)
+        return mrc.fast_rcnn_loss(m, v, fb, r)
+
+    FAMILIES["FastRCNN"] = Family(
+        build=_zoo_build("FastRCNN"),
+        loss=fast_loss,
+        detect=lambda m, a, v, img, ishape, sf=None: mrc.fast_rcnn_detect(
+            m, v, img, ishape, *_grid_proposals(img.shape[:2]),
+            scale_factor=sf),
+        needs_proposals=True)
+
+    def rpn_detect(m, a, v, img, ishape, sf=None):
+        from ..core import nms as nms_ops
+
+        props = mrc.rpn_propose(m, v, img, ishape, a)
+        boxes = props.boxes if sf is None else props.boxes / jnp.asarray(sf)
+        return nms_ops.DetResult(
+            boxes, props.scores,
+            jnp.zeros((props.boxes.shape[0],), jnp.int32), props.valid)
+
+    FAMILIES["RPN"] = Family(
+        build=_zoo_build("RPN"),
+        loss=lambda m, a, v, b, r: mrc.rpn_only_loss(m, v, b, r, a),
+        detect=rpn_detect)
+
+
+# ---------------------------------------------------------------------------
+# Single-stage / dense-head families
+# ---------------------------------------------------------------------------
+
+
+def _flat2(outs):
+    return [(c[0], r[0]) for c, r in outs]
+
+
+def _flat3(outs):
+    return [(a[0], b[0], c[0]) for a, b, c in outs]
+
+
+def _retina_anchors(gen, outs):
+    shapes = [(o[0].shape[1], o[0].shape[2]) for o in outs]
+    return [jnp.asarray(a) for a in gen.grid_anchors(shapes)]
+
+
+def _register_single_stage():
+    from ..models.dense_heads import (
+        atss_head as A, corner_head as C, fcos_head as FC, fovea_head as FV,
+        free_anchor_head as FA, fsaf_head as FS, gfl_head as G,
+        guided_anchor_head as GA, paa_head as PA, pisa_nasfcos as PN,
+        reppoints_head as RP, retina_head as R, sabl_head as SB,
+        vfnet_head as VF, yolact_head as Y,
+    )
+    from ..models.detectors import detr as D, sparse_rcnn as SR, ssd as S
+    from ..models.detectors import yolov3 as YV
+    from ..core import nms as nms_ops
+
+    def retina_build(mcfg, tiny):
+        m, _ = _dense_build("RetinaNet")(mcfg, tiny)
+        return m, R.retina_anchor_generator()
+
+    def retina_loss(m, gen, v, b, r):
+        outs = m.apply(v, b.img[None])
+        return _total(R.retina_loss(
+            _flat2(outs), _retina_anchors(gen, outs), b.gt_boxes,
+            b.gt_labels, b.gt_valid, b.img_shape,
+            num_classes=m.num_classes))
+
+    def retina_detect(m, gen, v, img, ishape, sf=None):
+        outs = m.apply(v, img[None])
+        return R.retina_decode(_flat2(outs), _retina_anchors(gen, outs),
+                               ishape, m.num_classes, scale_factor=sf)
+
+    FAMILIES["RetinaNet"] = Family(retina_build, retina_loss, retina_detect,
+                                   input_hw=(128, 128))
+
+    def fa_loss(m, gen, v, b, r):
+        outs = m.apply(v, b.img[None])
+        return _total(FA.free_anchor_loss(
+            _flat2(outs), _retina_anchors(gen, outs), b.gt_boxes,
+            b.gt_labels, b.gt_valid, m.num_classes, pre_anchor_topk=16))
+
+    for name in ("FreeAnchor", "FreeAnchorRetinaNet"):
+        FAMILIES[name] = Family(retina_build, fa_loss, retina_detect,
+                                input_hw=(128, 128))
+
+    def pisa_loss(m, gen, v, b, r):
+        outs = m.apply(v, b.img[None])
+        return _total(PN.pisa_retina_loss(
+            _flat2(outs), _retina_anchors(gen, outs), b.gt_boxes,
+            b.gt_labels, b.gt_valid, b.img_shape, m.num_classes))
+
+    for name in ("PISA", "PISARetinaNet"):
+        FAMILIES[name] = Family(retina_build, pisa_loss, retina_detect,
+                                input_hw=(128, 128))
+
+    def dense(name, loss_fn, decode_fn, flat, tiny_kw=None, **decode_kw):
+        def loss(m, a, v, b, r):
+            outs = m.apply(v, b.img[None])
+            return _total(loss_fn(flat(outs), b.gt_boxes, b.gt_labels,
+                                  b.gt_valid, m.num_classes))
+
+        def detect(m, a, v, img, ishape, sf=None):
+            outs = m.apply(v, img[None])
+            kw = dict(decode_kw)
+            if sf is not None:
+                kw["scale_factor"] = sf
+            return decode_fn(flat(outs), ishape, m.num_classes, **kw)
+
+        FAMILIES[name] = Family(_dense_build(name, tiny_kw), loss, detect,
+                                input_hw=(128, 128))
+
+    dense("FCOS", FC.fcos_loss, FC.fcos_decode, _flat3)
+    dense("NASFCOS", PN.nasfcos_loss, PN.nasfcos_decode, _flat3)
+    dense("ATSS", A.atss_loss, A.atss_decode, _flat3)
+    dense("PAA", PA.paa_loss, PA.paa_decode, _flat3)
+    dense("VFNet", VF.vfnet_loss, VF.vfnet_decode, _flat3)
+    dense("FSAF", FS.fsaf_loss, FS.fsaf_decode, _flat2)
+    for name in ("FoveaBox", "FOVEA"):
+        dense(name, FV.fovea_loss, FV.fovea_decode, _flat2)
+    for name in ("RepPoints", "RepPointsDetector"):
+        dense(name, RP.reppoints_loss, RP.reppoints_decode, _flat3)
+    for name in ("SABL", "SABLRetinaNet"):
+        dense(name, SB.sabl_loss, SB.sabl_decode, _flat3)
+
+    def gfl_loss(m, a, v, b, r):
+        outs = m.apply(v, b.img[None])
+        return _total(G.gfl_loss(_flat2(outs), b.gt_boxes, b.gt_labels,
+                                 b.gt_valid, m.num_classes,
+                                 reg_max=m.reg_max))
+
+    def gfl_detect(m, a, v, img, ishape, sf=None):
+        outs = m.apply(v, img[None])
+        return G.gfl_decode(_flat2(outs), ishape, m.num_classes,
+                            reg_max=m.reg_max, scale_factor=sf)
+
+    FAMILIES["GFL"] = Family(_dense_build("GFL"), gfl_loss, gfl_detect,
+                             input_hw=(128, 128))
+
+    def ssd_loss(m, a, v, b, r):
+        outs = m.apply(v, b.img[None])
+        return _total(S.ssd_loss(_flat2(outs), b.gt_boxes, b.gt_labels,
+                                 b.gt_valid, m.num_classes))
+
+    def ssd_detect(m, a, v, img, ishape, sf=None):
+        outs = m.apply(v, img[None])
+        return S.ssd_decode(_flat2(outs), ishape, m.num_classes,
+                            scale_factor=sf)
+
+    FAMILIES["SSD"] = Family(_dense_build("SSD"), ssd_loss, ssd_detect,
+                             input_hw=(300, 300))
+
+    def yolo_loss(m, a, v, b, r):
+        preds = [p[0] for p in m.apply(v, b.img[None])]
+        return _total(YV.yolo_loss(preds, b.gt_boxes, b.gt_labels,
+                                   b.gt_valid, m.num_classes))
+
+    def yolo_detect(m, a, v, img, ishape, sf=None):
+        preds = [p[0] for p in m.apply(v, img[None])]
+        return YV.yolo_detect(preds, m.num_classes, ishape, scale_factor=sf)
+
+    FAMILIES["YOLOV3"] = Family(_dense_build("YOLOV3"), yolo_loss,
+                                yolo_detect, input_hw=(128, 128))
+
+    def ga_loss(m, a, v, b, r):
+        outs = m.apply(v, b.img[None])
+        ls = GA.ga_retina_loss(outs, b.gt_boxes, b.gt_labels, b.gt_valid,
+                               b.img_shape, num_classes=m.num_classes)
+        return _total(ls)
+
+    def ga_detect(m, a, v, img, ishape, sf=None):
+        outs = m.apply(v, img[None])
+        return GA.ga_retina_decode(outs, ishape, m.num_classes,
+                                   scale_factor=sf)
+
+    for name in ("GARetinaNet", "GuidedAnchoring"):
+        FAMILIES[name] = Family(_dense_build(name), ga_loss, ga_detect,
+                                input_hw=(128, 128))
+
+    def detr_loss(m, a, v, b, r):
+        c, bx = m.apply(v, b.img[None])
+        return _total(D.detr_loss(c, bx, b.gt_boxes, b.gt_labels,
+                                  b.gt_valid, b.img_shape, m.num_classes))
+
+    def detr_detect(m, a, v, img, ishape, sf=None):
+        c, bx = m.apply(v, img[None])
+        det = D.detr_detect(c, bx, ishape, m.num_classes)
+        if sf is not None:
+            det = det._replace(boxes=det.boxes / jnp.asarray(sf))
+        return det
+
+    FAMILIES["DETR"] = Family(
+        _dense_build("DETR", tiny_kw=dict(num_queries=20, dim=64,
+                                          enc_layers=1, dec_layers=1)),
+        detr_loss, detr_detect, input_hw=(128, 128))
+
+    def sparse_loss(m, a, v, b, r):
+        outs = m.apply(v, b.img[None])
+        return _total(SR.sparse_rcnn_loss(outs, b.gt_boxes, b.gt_labels,
+                                          b.gt_valid, b.img_shape,
+                                          m.num_classes))
+
+    def sparse_detect(m, a, v, img, ishape, sf=None):
+        outs = m.apply(v, img[None])
+        det = SR.sparse_rcnn_detect(outs, m.num_classes)
+        if sf is not None:
+            det = det._replace(boxes=det.boxes / jnp.asarray(sf))
+        return det
+
+    FAMILIES["SparseRCNN"] = Family(
+        _dense_build("SparseRCNN",
+                     tiny_kw=dict(num_proposals=10, num_stages=2)),
+        sparse_loss, sparse_detect, input_hw=(128, 128))
+
+    def yolact_loss(m, a, v, b, r):
+        level_outs, protos, segm = m.apply(v, b.img[None])
+        flat = [(c[0], rr[0], k[0]) for c, rr, k in level_outs]
+        masks = getattr(b, "gt_masks", None)
+        if masks is None:
+            masks = _box_masks(b, b.img.shape[:2])
+        return _total(Y.yolact_loss(flat, protos, segm[0], b.gt_boxes,
+                                    b.gt_labels, b.gt_valid, masks,
+                                    b.img_shape, m.num_classes))
+
+    def yolact_detect(m, a, v, img, ishape, sf=None):
+        level_outs, protos, _ = m.apply(v, img[None])
+        flat = [(c[0], rr[0], k[0]) for c, rr, k in level_outs]
+        det, _ = Y.yolact_detect(flat, protos, ishape, m.num_classes)
+        if sf is not None:
+            det = det._replace(boxes=det.boxes / jnp.asarray(sf))
+        return det
+
+    FAMILIES["YOLACT"] = Family(_dense_build("YOLACT"), yolact_loss,
+                                yolact_detect, needs_masks=True,
+                                input_hw=(128, 128))
+
+    corner_tiny = dict(stacks=1, hg_depth=2, hg_channels=(32, 32, 48),
+                       feat_channel=32)
+
+    def corner_family(name, centripetal):
+        def loss(m, a, v, b, r):
+            tl, br = m.apply(v, b.img[None])
+            ftl = tuple(t[0] for t in tl)
+            fbr = tuple(t[0] for t in br)
+            return _total(C.corner_loss(ftl, fbr, b.gt_boxes, b.gt_labels,
+                                        b.gt_valid, b.img_shape,
+                                        m.num_classes,
+                                        centripetal=centripetal))
+
+        def detect(m, a, v, img, ishape, sf=None):
+            tl, br = m.apply(v, img[None])
+            ftl = tuple(t[0] for t in tl)
+            fbr = tuple(t[0] for t in br)
+            boxes, scores, labels, valid = C.corner_decode(
+                ftl, fbr, m.num_classes, centripetal=centripetal)
+            if sf is not None:
+                boxes = boxes / jnp.asarray(sf)
+            return nms_ops.DetResult(boxes, scores, labels, valid)
+
+        FAMILIES[name] = Family(_dense_build(name, corner_tiny), loss,
+                                detect, input_hw=(64, 64))
+
+    corner_family("CornerNet", False)
+    corner_family("CentripetalNet", True)
+
+
+_register_two_stage()
+_register_single_stage()
+
+
+def get_family(mtype: str) -> Optional[Family]:
+    return FAMILIES.get(mtype)
+
+
+def make_synth_batch(model, fam: Family, rng: np.random.RandomState):
+    """Synthetic DetTrainBatch matched to the family's input geometry."""
+    from ..models.detectors.faster_rcnn import DetTrainBatch
+
+    if fam.input_hw is not None:
+        h, w = fam.input_hw
+    else:
+        cfg = getattr(model, "cfg", None)
+        h, w = getattr(cfg, "pad_h", 608), getattr(cfg, "pad_w", 1024)
+    return DetTrainBatch(
+        img=jnp.asarray(rng.uniform(-2, 2, (h, w, 3)).astype(np.float32)),
+        img_shape=jnp.asarray([float(h), float(w)]),
+        gt_boxes=jnp.asarray([[8.0, 8.0, h * 0.45, w * 0.45],
+                              [4.0, 4.0, h * 0.3, w * 0.6],
+                              [0.0, 0.0, 0.0, 0.0],
+                              [0.0, 0.0, 0.0, 0.0]], jnp.float32),
+        gt_labels=jnp.asarray([1, 2, 0, 0], jnp.int32),
+        gt_valid=jnp.asarray([True, True, False, False]),
+    )
+
+
+def init_variables(model, fam: Family, seed: int = 0):
+    if fam.input_hw is not None:
+        h, w = fam.input_hw
+    else:
+        h = w = 64
+    return jax.jit(model.init)(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, h, w, 3), jnp.float32))

@@ -113,7 +113,9 @@ class VIDModel:
         selsa_darkfarm_detect.py:215+)."""
         cfg = self.cfg
         c = img.shape[-1] if img.ndim == 3 else 1
-        keep = min(c, 3)
+        # the noisy half of a 2C-channel pair: RAW models (RGGB stem,
+        # backbone_in_channels=4) keep 4 channels, sRGB models 3
+        keep = min(c, getattr(cfg, "backbone_in_channels", 3))
         canvas = np.zeros((cfg.pad_h, cfg.pad_w, keep), np.float32)
         h = min(img.shape[0], cfg.pad_h)
         w = min(img.shape[1], cfg.pad_w)
@@ -184,34 +186,81 @@ def inference_vid(model: VIDModel, frame: np.ndarray, frame_id: int,
 
 
 class DetectorModel:
-    """Single-image detector wrapper (init_detector/inference_detector)."""
+    """Single-image detector wrapper (init_detector/inference_detector).
+
+    Dispatches loss-free inference through apis.families — EVERY registered
+    image-detector type runs its own decode path, matching the reference's
+    ``inference_detector`` working for any built detector
+    (mmdet/apis/inference.py:89)."""
 
     def __init__(self, model_type: str = "FasterRCNN", params=None,
-                 rng_seed: int = 0, **model_kwargs):
-        from ..models.detectors.faster_rcnn import faster_rcnn_detect
+                 rng_seed: int = 0, tiny: bool = False, pad_hw=None,
+                 **model_kwargs):
+        from .families import get_family, init_variables
 
-        self.model, self.anchors = MODELS.build(dict(type=model_type, **model_kwargs))
-        self.cfg = self.model.cfg
+        from .families import FAMILIES
+
+        fam = get_family(model_type)
+        if fam is None:
+            raise KeyError(f"{model_type!r} has no inference adapter "
+                           f"(known: {sorted(FAMILIES)})")
+        self.family = fam
+        self.model, self.aux = fam.build(dict(model_kwargs), tiny)
+        self.cfg = getattr(self.model, "cfg", None)
+        self.num_classes = (self.cfg.num_classes if self.cfg is not None
+                            else self.model.num_classes)
         if params is None:
-            params = jax.jit(self.model.init)(
-                jax.random.PRNGKey(rng_seed), jnp.zeros((1, 64, 64, 3))
-            )
+            params = init_variables(self.model, fam, seed=rng_seed)
         self.params = params
-        self._detect_fn = jax.jit(
-            lambda params, anchors, img, shape, sf: faster_rcnn_detect(
-                self.model, params, img, shape, anchors, scale_factor=sf
-            )
-        )
-        self._detect = lambda img, shape, sf: self._detect_fn(
-            self.params, self.anchors, img, shape, sf
-        )
+        if pad_hw is not None:
+            self.pad_h, self.pad_w = pad_hw
+        elif self.cfg is not None:
+            self.pad_h, self.pad_w = self.cfg.pad_h, self.cfg.pad_w
+        elif fam.input_hw == (300, 300):  # fixed-input nets (SSD)
+            self.pad_h, self.pad_w = 300, 300
+        elif tiny:
+            self.pad_h, self.pad_w = fam.input_hw or (128, 128)
+        else:
+            self.pad_h, self.pad_w = 768, 1280  # stride-128-divisible bucket
+
+        # anchors-as-argument (closures bake weights into remote-compiled
+        # HLO); non-array aux (anchor generators) stays a trace-time const
+        if isinstance(self.aux, (jnp.ndarray, np.ndarray)):
+            self._detect_fn = jax.jit(
+                lambda params, aux, img, shape, sf: fam.detect(
+                    self.model, aux, params, img, shape, sf))
+            self._detect = lambda img, shape, sf: self._detect_fn(
+                self.params, self.aux, img, shape, sf)
+        else:
+            self._detect_fn = jax.jit(
+                lambda params, img, shape, sf: fam.detect(
+                    self.model, self.aux, params, img, shape, sf))
+            self._detect = lambda img, shape, sf: self._detect_fn(
+                self.params, img, shape, sf)
 
     def inference_detector(self, img: np.ndarray) -> List[np.ndarray]:
         imgs, img_shape, sf = prepare_frames(
-            img[None], self.cfg.pad_h, self.cfg.pad_w
+            img[None], self.pad_h, self.pad_w
         )
         dets = self._detect(imgs[0], img_shape, jnp.asarray(sf))
-        return result_to_per_class(dets, self.cfg.num_classes)
+        return result_to_per_class(dets, self.num_classes)
+
+    def detect_prepared(self, img: np.ndarray, img_shape=None,
+                        scale_factor=None) -> List[np.ndarray]:
+        """Pipeline-prepared image (already resized/normalized): pad to the
+        static bucket, detect, rescale via the pipeline's scale_factor."""
+        canvas = np.zeros((self.pad_h, self.pad_w, 3), np.float32)
+        h = min(img.shape[0], self.pad_h)
+        w = min(img.shape[1], self.pad_w)
+        canvas[:h, :w] = img[:h, :w, :3]
+        if img_shape is None:
+            img_shape = img.shape[:2]
+        shape = jnp.asarray([float(img_shape[0]), float(img_shape[1])])
+        if scale_factor is None:
+            scale_factor = np.ones((4,), np.float32)
+        dets = self._detect(jnp.asarray(canvas), shape,
+                            jnp.asarray(np.asarray(scale_factor, np.float32)))
+        return result_to_per_class(dets, self.num_classes)
 
 
 def init_detector(model_type: str = "FasterRCNN", **kwargs) -> DetectorModel:

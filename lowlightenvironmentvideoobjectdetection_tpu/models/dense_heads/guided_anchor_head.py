@@ -367,3 +367,27 @@ def cascade_rpn_loss(cls, anchors1, anchors2, gt_boxes, gt_valid
     loss_cls = jnp.sum(bce * (pos | neg)) / jnp.maximum(
         jnp.sum(pos | neg), 1.0)
     return CascadeRPNLossOut(loss_cls, loss1, loss2)
+
+
+class GARetinaNet(nn.Module):
+    """Full guided-anchoring RetinaNet: ResNet + FPN + GARetinaHead
+    (reference mmdetection/configs/guided_anchoring/ga_retinanet_r50_fpn —
+    the registered head-only module becomes CLI-runnable through this
+    assembly; round-3 family dispatch)."""
+
+    num_classes: int = 80
+    depth: int = 50
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.depth, out_indices=(1, 2, 3), frozen_stages=1,
+            dtype=self.dtype, name="backbone")
+        self.neck = FPN(out_channels=256, num_outs=5,
+                        add_extra_convs="on_input", dtype=self.dtype,
+                        name="neck")
+        self.head = GARetinaHead(num_classes=self.num_classes,
+                                 dtype=self.dtype, name="bbox_head")
+
+    def __call__(self, imgs):
+        return self.head(self.neck(self.backbone(imgs)))

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...core import boxes as box_ops
+from ...core import boxes as box_ops, nms as nms_ops
 from ...ops.roi_align import roi_align
 from ..dense_heads import rpn_head as rpn
 from ..roi_heads import bbox_head as bh
@@ -238,6 +238,59 @@ def htc_loss(model: HTC, params, batch: MaskTrainBatch, rng: jax.Array,
         valid = tgts.label_weights > 0
     metrics["loss"] = total
     return total, metrics
+
+
+def htc_detect(model: HTC, params, img: jnp.ndarray, img_shape, anchors,
+               scale_factor=None):
+    """Cascade inference with semantic fusion + mask info flow
+    (reference htc_roi_head.py simple_test: 3-stage refinement, averaged
+    stage scores, masks from every stage averaged on the final boxes).
+    Returns (DetResult, masks [max_num, mh, mw, C] sigmoid probs)."""
+    cfg = model.cfg
+    _, neck = model.apply(params, img[None], method=HTC.extract_feat)
+    cls, reg = model.apply(params, neck, method=HTC.rpn_forward)
+    props = rpn.rpn_proposals(
+        [(cls[0], reg[0])], [anchors], img_shape,
+        nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
+        iou_threshold=cfg.rpn_nms_iou)
+    sem_feat = None
+    if model.with_semantic:
+        _, sem_feat = model.apply(params, neck[0], method=HTC.semantic_forward)
+
+    boxes = props.boxes
+    binds = jnp.zeros((boxes.shape[0],), jnp.int32)
+    scores_sum = 0.0
+    for st in range(3):
+        rf = model.apply(params, neck[0], sem_feat, boxes, binds,
+                         method=HTC.roi_feats)
+        cls_score, bbox_pred = model.apply(params, st, rf,
+                                           method=HTC.stage_forward)
+        scores_sum = scores_sum + jax.nn.softmax(
+            cls_score.astype(jnp.float32), axis=-1)
+        if st < 2:
+            boxes = box_ops.delta2bbox(
+                boxes, bbox_pred.astype(jnp.float32), stds=STAGE_STDS[st],
+                max_shape=img_shape)
+    decoded = box_ops.delta2bbox(
+        boxes, bbox_pred.astype(jnp.float32), stds=STAGE_STDS[2],
+        max_shape=img_shape)
+    if scale_factor is not None:
+        decoded = decoded / jnp.asarray(scale_factor)
+    dets = nms_ops.multiclass_nms(
+        decoded, scores_sum / 3.0, score_thr=1e-4, iou_threshold=0.5,
+        max_num=100, box_valid=props.valid)
+
+    # mask info flow on the kept boxes, stages averaged
+    dbinds = jnp.zeros((dets.boxes.shape[0],), jnp.int32)
+    mrf = model.apply(params, neck[0], sem_feat, dets.boxes, dbinds,
+                      method=HTC.mask_roi_feats)
+    prev = None
+    probs_sum = 0.0
+    for st in range(3):
+        mlogits, prev = model.apply(params, st, mrf, prev,
+                                    method=HTC.mask_forward)
+        probs_sum = probs_sum + jax.nn.sigmoid(mlogits.astype(jnp.float32))
+    return dets, probs_sum / 3.0
 
 
 class SCNet(HTC):

@@ -38,7 +38,9 @@ from ...ops.point_sample import point_sample
 from ...ops.roi_align import roi_align
 from ..dense_heads import rpn_head as rpn
 from ..roi_heads import bbox_head as bh
-from ..roi_heads.mask_head import FCNMaskHead, mask_loss, mask_targets
+from ..roi_heads.mask_head import (
+    FCNMaskHead, mask_loss, mask_targets, paste_masks,
+)
 
 
 def _roi_mask_targets(batch, tgts, mask_size=28):
@@ -604,3 +606,129 @@ def grid_rcnn_loss(model: GridRCNN, params, batch: DetTrainBatch,
     total = ls.loss_cls + ls.loss_bbox + roi.loss_cls + loss_grid
     return total, {"loss": total, "loss_cls": roi.loss_cls,
                    "loss_grid": loss_grid}
+
+
+# ---------------------------------------------------------------------------
+# Inference paths (round-3: every registered family CLI-runnable —
+# reference simple_test of each detector)
+# ---------------------------------------------------------------------------
+
+
+def _sub_params(params, name):
+    """Nested-module facade: slice the child's param subtree."""
+    return {c: t[name] for c, t in params.items() if name in t}
+
+
+def mask_scoring_detect(model: MaskScoringRCNN, params, img, img_shape,
+                        anchors, scale_factor=None):
+    """mask_scoring_rcnn.py simple_test: Mask R-CNN detect, then the MaskIoU
+    head rescales each detection's score by its predicted mask IoU (the
+    reference applies this to the mask score ranking)."""
+    from .mask_rcnn import mask_rcnn_detect
+
+    cfg = model.cfg
+    sub = _sub_params(params, "mask_rcnn")
+    dets, masks = mask_rcnn_detect(MaskRCNN(cfg=cfg), sub, img, img_shape,
+                                   anchors, scale_factor=scale_factor)
+    _, neck = model.apply(
+        params, img[None], method=lambda m, x: m.mask_rcnn.extract_feat(x))
+    binds = jnp.zeros((dets.boxes.shape[0],), jnp.int32)
+    _, _, miou = model.apply(params, neck[0], dets.boxes, binds,
+                             method=MaskScoringRCNN.mask_branch)
+    cls_idx = jnp.clip(dets.labels, 0, cfg.num_classes - 1)
+    iou_c = jnp.take_along_axis(miou, cls_idx[:, None], axis=1)[:, 0]
+    scores = dets.scores * jnp.clip(iou_c, 0.0, 1.0)
+    return nms_ops.DetResult(dets.boxes, scores, dets.labels, dets.valid), masks
+
+
+def point_rend_detect(model: PointRendRCNN, params, img, img_shape, anchors,
+                      scale_factor=None):
+    """point_rend.py simple_test: Mask R-CNN boxes, masks refined at the
+    most-uncertain points by the point head."""
+    from .mask_rcnn import mask_rcnn_detect
+
+    cfg = model.cfg
+    sub = _sub_params(params, "mask_rcnn")
+    dets, _ = mask_rcnn_detect(MaskRCNN(cfg=cfg), sub, img, img_shape,
+                               anchors, scale_factor=scale_factor)
+    _, neck = model.apply(
+        params, img[None], method=lambda m, x: m.mask_rcnn.extract_feat(x))
+    binds = jnp.zeros((dets.boxes.shape[0],), jnp.int32)
+    refined, _ = model.apply(params, neck[0], dets.boxes, binds,
+                             method=PointRendRCNN.mask_with_points)
+    cls_idx = jnp.clip(dets.labels, 0, cfg.num_classes - 1)
+    probs = jax.nn.sigmoid(jnp.take_along_axis(
+        refined, cls_idx[:, None, None, None], axis=-1)[..., 0])
+    masks = paste_masks(probs, dets.boxes, cfg.pad_h, cfg.pad_w)
+    return dets, masks
+
+
+def grid_rcnn_detect(model: GridRCNN, params, img, img_shape, anchors,
+                     scale_factor=None):
+    """grid_rcnn.py simple_test: proposals -> cls scores (no reg deltas);
+    boxes localized by the grid head's border heatmaps — each border is the
+    soft-argmax of its 1-D marginal over the roi window."""
+    cfg = model.cfg
+    _, neck = model.apply(params, img[None], method=GridRCNN.extract_feat)
+    cls, reg = model.apply(params, neck, method=GridRCNN.rpn_forward)
+    props = rpn.rpn_proposals(
+        [(cls[0], reg[0])], [anchors], img_shape,
+        nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
+        iou_threshold=cfg.rpn_nms_iou)
+    binds = jnp.zeros((props.boxes.shape[0],), jnp.int32)
+    rf = model.apply(params, neck[0], props.boxes, binds,
+                     method=lambda m, nf, r, b: m.base.roi_feats(nf, r, b))
+    cls_score, _ = model.apply(params, rf, method=GridRCNN.cls_forward)
+    scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+
+    rf14 = model.apply(params, neck[0], props.boxes, binds,
+                       method=GridRCNN.roi_feats14)
+    grids = model.apply(params, rf14, method=GridRCNN.grid_forward)
+    gh, gw = grids.shape[1], grids.shape[2]
+    x1, y1, x2, y2 = (props.boxes[:, i] for i in range(4))
+    rw = jnp.maximum(x2 - x1, 1.0)
+    rh = jnp.maximum(y2 - y1, 1.0)
+
+    def border(hm, axis_len, horizontal):
+        marg = jax.nn.softmax(
+            hm.astype(jnp.float32).mean(axis=2 if horizontal else 1), axis=-1)
+        pos = jnp.arange(axis_len, dtype=jnp.float32) + 0.5
+        return jnp.sum(marg * pos[None], axis=-1) / axis_len  # [N] in (0,1)
+
+    bx1 = x1 + border(grids[..., 0], gw, True) * rw
+    by1 = y1 + border(grids[..., 1], gh, False) * rh
+    bx2 = x1 + border(grids[..., 2], gw, True) * rw
+    by2 = y1 + border(grids[..., 3], gh, False) * rh
+    boxes = jnp.stack([jnp.minimum(bx1, bx2), jnp.minimum(by1, by2),
+                       jnp.maximum(bx1, bx2), jnp.maximum(by1, by2)], axis=-1)
+    boxes = jnp.clip(boxes, 0.0,
+                     jnp.asarray([img_shape[1], img_shape[0]] * 2,
+                                 jnp.float32))
+    if scale_factor is not None:
+        boxes = boxes / jnp.asarray(scale_factor)
+    return nms_ops.multiclass_nms(boxes, scores, score_thr=1e-4,
+                                  iou_threshold=0.5, max_num=100,
+                                  box_valid=props.valid)
+
+
+def trident_detect(model: TridentFasterRCNN, params, img, img_shape, anchors,
+                   scale_factor=None):
+    """trident_faster_rcnn.py simple_test: inference uses the MIDDLE scale
+    branch only (branch index 1 of 3)."""
+    cfg = model.cfg
+    neck = model.apply(params, img[None],
+                       method=TridentFasterRCNN.extract_feat)
+    mid = neck.shape[0] // 2
+    nf = neck[mid:mid + 1]
+    cls, reg = model.apply(params, nf, method=TridentFasterRCNN.rpn_forward)
+    props = rpn.rpn_proposals(
+        [(cls[0], reg[0])], [anchors], img_shape,
+        nms_pre=cfg.test_nms_pre, nms_post=cfg.test_nms_post,
+        iou_threshold=cfg.rpn_nms_iou)
+    rf = model.apply(params, nf[0], props.boxes,
+                     jnp.zeros((props.boxes.shape[0],), jnp.int32),
+                     method=TridentFasterRCNN.roi_feats)
+    cls_score, bbox_pred = model.apply(params, rf,
+                                       method=TridentFasterRCNN.bbox_forward)
+    return bh.bbox_decode(props.boxes, cls_score, bbox_pred, img_shape,
+                          roi_valid=props.valid, scale_factor=scale_factor)

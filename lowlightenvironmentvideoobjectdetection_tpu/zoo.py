@@ -118,9 +118,11 @@ def build_dark_detect(num_classes: int = 30, out_indices=(0, 1, 2, 3, 3), **kw):
 def build_selsa_dark_detect(num_classes: int = 30, out_indices=(0, 1, 2, 3, 3),
                             **kw):
     """Earlier dark variant on the ConvLSTM DarkResNet backbone
-    (slesa_dark_detect.py [sic])."""
-    return _darkfarm(num_classes, "l2", True, out_indices,
-                     backbone_variant="DarkResNet", **kw)
+    (slesa_dark_detect.py [sic]); configs may override backbone_variant
+    (e.g. the selsa_tra ResNetH ablations)."""
+    kw.setdefault("backbone_variant", "DarkResNet")
+    loss_type = kw.pop("loss_type", "l2")
+    return _darkfarm(num_classes, loss_type, True, out_indices, **kw)
 
 
 @MODELS.register("SelsaNoiseDetect")
@@ -679,7 +681,15 @@ def build_scnet(num_classes: int = 80, **kw):
 def build_ga_retinanet(num_classes: int = 80, **kw):
     """Guided-anchoring RetinaNet (reference: guided_anchor_head.py:4
     GARetinaHead — anchor shape/loc prediction + DeformConv feature
-    adaption)."""
+    adaption), as a full backbone+FPN+head detector."""
+    from .models.dense_heads.guided_anchor_head import GARetinaNet
+
+    return GARetinaNet(num_classes=num_classes, **kw)
+
+
+@MODELS.register("GARetinaHead")
+def build_ga_retina_head(num_classes: int = 80, **kw):
+    """The bare guided-anchoring head (feats-in), kept for head-level use."""
     from .models.dense_heads.guided_anchor_head import GARetinaHead
 
     return GARetinaHead(num_classes=num_classes, **kw)
