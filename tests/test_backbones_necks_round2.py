@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 
 def _img(hw=64, c=3):
     return jnp.asarray(

@@ -146,7 +146,10 @@ class TestDetConfigSweepReal:
             while True:
                 yield jax.tree_util.tree_map(lambda x: x[None], synth(rng))
 
-        state = train_model(loss_fn, variables, it(), steps=2,
+        # n_devices=1: the CLI's single-chip shape (the 8-virtual-device
+        # conftest mesh needs batch%8==0; multi-chip is covered by
+        # test_parallel / dryrun_multichip)
+        state = train_model(loss_fn, variables, it(), 2, n_devices=1,
                             checkpoint_dir=str(tmp_path), log_interval=1)
         assert int(state.step) == 2
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.dark_resnet import (
     DARK_VARIANTS,
     DarkResNet,

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 from lowlightenvironmentvideoobjectdetection_tpu.ops import noise as N
 from lowlightenvironmentvideoobjectdetection_tpu.ops import unprocess as U
 

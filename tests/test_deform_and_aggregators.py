@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.model
 
 from lowlightenvironmentvideoobjectdetection_tpu.models.aggregators.denoising_aggregator import (
     RDB,

@@ -28,6 +28,8 @@ star). Two layers of evidence:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 

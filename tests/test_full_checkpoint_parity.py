@@ -27,6 +27,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 

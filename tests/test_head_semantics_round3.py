@@ -94,8 +94,11 @@ class TestCornerDecodeRoundtrip:
                                     centripetal)
         boxes, scores, labels, valid = C.corner_decode(
             tl, br, 4, k=8, max_per_img=8, centripetal=centripetal)
-        got = np.asarray(boxes)[np.asarray(valid)]
-        lab = np.asarray(labels)[np.asarray(valid)]
+        # pair score = mean(tl, br): one-real-one-noise pairings score
+        # ~0.5, noise-noise ~0; only true pairs clear 0.8
+        keep = np.asarray(valid) & (np.asarray(scores) > 0.8)
+        got = np.asarray(boxes)[keep]
+        lab = np.asarray(labels)[keep]
         assert got.shape[0] == 2, got  # exactly the two true pairings
         order = np.argsort(got[:, 0])
         np.testing.assert_allclose(got[order], np.asarray(self.BOXES),
@@ -113,7 +116,8 @@ class TestCornerDecodeRoundtrip:
         tl, br = _ideal_corner_maps(boxes, [1, 1], 4, 32, 32, 4, False)
         out_boxes, scores, labels, valid = C.corner_decode(
             tl, br, 4, k=8, max_per_img=8)
-        got = np.asarray(out_boxes)[np.asarray(valid)]
+        keep = np.asarray(valid) & (np.asarray(scores) > 0.8)
+        got = np.asarray(out_boxes)[keep]
         assert got.shape[0] == 2  # not 4: the two cross pairings rejected
         widths = got[:, 2] - got[:, 0]
         assert np.all(widths < 45), got  # no (8,8)-(100,100) union box

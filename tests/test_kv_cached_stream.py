@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads.bbox_head import (
     Shared2FCBBoxHead,
 )

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 
 def _gts():
     return (jnp.asarray([[8.0, 8.0, 60.0, 60.0]]),

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 from lowlightenvironmentvideoobjectdetection_tpu.core.eval.mot import eval_mot
 from lowlightenvironmentvideoobjectdetection_tpu.core.motion.kalman import KalmanFilter
 from lowlightenvironmentvideoobjectdetection_tpu.core.motion.linear import (

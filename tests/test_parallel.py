@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 from lowlightenvironmentvideoobjectdetection_tpu.parallel.train import (
     Trainer,
     create_mesh,

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 
 class TestFPN:
     def test_shapes_on_input_extra(self):

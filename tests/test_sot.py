@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 from lowlightenvironmentvideoobjectdetection_tpu.core.eval.sot import eval_sot_ope
 from lowlightenvironmentvideoobjectdetection_tpu.models.sot.siamrpn import (
     SiamRPN,

@@ -9,6 +9,8 @@ torch ResNet-50 with torchvision-compatible state-dict key names
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 torch = pytest.importorskip("torch")
 nn = torch.nn
 

@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.model
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 

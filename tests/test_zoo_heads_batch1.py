@@ -5,6 +5,9 @@ tests/test_more_detectors.py."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.model
 
 
 def _gts():

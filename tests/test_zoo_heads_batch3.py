@@ -4,6 +4,9 @@ NASFCOS + the corner-pool op."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.model
 
 
 def _gts():
