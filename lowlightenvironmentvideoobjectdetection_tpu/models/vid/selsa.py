@@ -131,6 +131,7 @@ class SelsaDetector(nn.Module):
         else:
             self.backbone = ResNet(
                 depth=c.depth,
+                in_channels=c.backbone_in_channels,
                 strides=(1, 2, 2, 1),
                 dilations=(1, 1, 1, 2),
                 out_indices=c.out_indices,
@@ -564,7 +565,9 @@ def init_params(model: SelsaDetector, rng: jax.Array, small: bool = False):
     Jitted: un-jitted flax init dispatches thousands of tiny ops, which is
     pathological over a remote-TPU tunnel (~75s vs <10s jitted)."""
     h, w = (64, 64) if small else (model.cfg.pad_h, model.cfg.pad_w)
-    imgs = jnp.zeros((1, h, w, 3), jnp.float32)
+    # flax shapes conv kernels from the init input: RAW models (RGGB stem)
+    # must init with their 4-channel input
+    imgs = jnp.zeros((1, h, w, model.cfg.backbone_in_channels), jnp.float32)
     return jax.jit(model.init)(rng, imgs)
 
 

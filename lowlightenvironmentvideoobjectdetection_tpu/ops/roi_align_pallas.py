@@ -97,6 +97,14 @@ def roi_align_pallas(
     ax = _interp_weights(xs, w, sr)  # [Np, P, W] f32
 
     grid = (rois_p.shape[0] // chunk,)
+    kw = {}
+    if not interpret:
+        # "arbitrary" (sequential) grid semantics let Mosaic keep the
+        # constant-index feature-map block resident across grid steps
+        # instead of re-fetching it per program (measured: the refetch made
+        # the kernel ~5% slower end-to-end than the XLA path in round 2)
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
     out = pl.pallas_call(
         _kernel,
         grid=grid,
@@ -114,5 +122,6 @@ def roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct(
             (rois_p.shape[0], out_size, out_size, c), jnp.float32),
         interpret=interpret,
+        **kw,
     )(ay, ax, feat.reshape(h, w * c))
     return out[:n]

@@ -43,6 +43,9 @@ class TestRawEndToEnd:
 
         T = _train_mod()
         cfg = Config.fromfile(RAW_CFG)
+        # unfreeze the stem: the config's reference-default frozen_stages=1
+        # (ImageNet warm-start protocol) would rightly zero conv1 grads
+        cfg["model"]["frozen_stages"] = -1
         model, anchors, loss_fn, synth, make_batch = T.build_system(
             cfg, tiny=True)
         assert model.cfg.in_channels == 4
@@ -64,8 +67,9 @@ class TestRawEndToEnd:
         g_stem = grads["params"]["selsa"]["backbone"]["conv1"]["kernel"]
         assert g_stem.shape[2] == 4
         assert float(jnp.abs(g_stem).sum()) > 0, "no gradient at the RAW stem"
-        # the feature-consistency loss is active
-        assert any("feat" in k for k in metrics), sorted(metrics)
+        # the feature-consistency loss is active (loss_<type>_<stage> keys)
+        assert any(k.startswith(("loss_l1", "loss_l2", "loss_smooth"))
+                   for k in metrics), sorted(metrics)
 
     def test_raw_pipeline_emits_8ch_pairs(self):
         from lowlightenvironmentvideoobjectdetection_tpu.config import Config

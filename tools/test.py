@@ -132,8 +132,9 @@ def run_sot_eval(args, cfg, mcfg):
     )
 
     if args.tiny:
-        mcfg.setdefault("exemplar_size", 32)
-        mcfg.setdefault("search_size", 64)
+        # smallest sizes the 7x7 center template crop allows (stride 8)
+        mcfg.setdefault("exemplar_size", 64)
+        mcfg.setdefault("search_size", 128)
     model = init_sot_model(checkpoint=args.checkpoint, **mcfg)
 
     dcfg = cfg["data"]["test"]
