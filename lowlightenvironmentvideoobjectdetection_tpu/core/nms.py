@@ -184,14 +184,17 @@ def batched_nms(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
+    pre_top_k: Optional[int] = None,
 ) -> NMSResult:
     """Class-aware NMS via the coordinate-offset trick (mmcv ``batched_nms``):
     boxes of different ``idxs`` never overlap, so one ``nms_fixed`` call does
-    per-class NMS jointly."""
+    per-class NMS jointly. ``pre_top_k`` bounds the sorted candidate window
+    (the [K, K] IoU matrix is the dominant cost)."""
     max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
     offsets = idxs.astype(jnp.float32) * max_coord
     shifted = boxes + offsets[:, None]
-    res = nms_fixed(shifted, scores, iou_threshold, max_out, valid=valid)
+    res = nms_fixed(shifted, scores, iou_threshold, max_out, valid=valid,
+                    pre_top_k=pre_top_k)
     # un-shift instead of re-gathering full box rows (1-D offset gather only)
     out_boxes = res.boxes - offsets[res.inds][:, None] * res.valid[:, None]
     return NMSResult(out_boxes, res.scores, res.inds, res.valid)
@@ -211,11 +214,18 @@ def multiclass_nms(
     iou_threshold: float,
     max_num: int,
     box_valid: Optional[jnp.ndarray] = None,
+    pre_top_k: Optional[int] = None,
 ) -> DetResult:
     """Reference ``multiclass_nms`` (mmdet bbox_nms.py:7) with fixed shapes.
 
     multi_bboxes: [N, 4] (shared) or [N, C*4] (per class).
     multi_scores: [N, C+1] — last column is background and is dropped.
+    ``pre_top_k``: sorted-candidate window for the matrix NMS; None = the
+    global ``_MATRIX_NMS_MAX_K`` cap. With N*C candidates (e.g. 300 rois x
+    30 classes = 9000) the window size drives the whole NMS cost — round 2's
+    cap bump from 2048 to 6144 for RPN parity silently tripled this step and
+    cost the streaming bench 33% end-to-end (A/B'd round-3); hot callers
+    should pass ~2048.
     """
     n, num_cols = multi_scores.shape
     num_classes = num_cols - 1
@@ -233,7 +243,8 @@ def multiclass_nms(
         cand_valid &= jnp.repeat(box_valid, num_classes)
 
     res = batched_nms(
-        flat_boxes, flat_scores, labels, iou_threshold, max_num, valid=cand_valid
+        flat_boxes, flat_scores, labels, iou_threshold, max_num,
+        valid=cand_valid, pre_top_k=pre_top_k,
     )
     return DetResult(res.boxes, res.scores, labels[res.inds], res.valid)
 

@@ -60,11 +60,15 @@ class SelsaAggregator(nn.Module):
             selsa_fused_attention,
         )
 
+        import os
+
         m = k.shape[0]
         bias = (jnp.where(ref_mask, 0.0, -1e30).astype(jnp.float32)
                 if ref_mask is not None else jnp.zeros((m,), jnp.float32))
         kk, vv = self._split(k), self._split(v)
-        if jax.default_backend() == "tpu":
+        # LLVOD_FUSED_ATTN=0 forces the plain-einsum path on TPU (A/B knob)
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("LLVOD_FUSED_ATTN", "1") != "0"):
             agg = selsa_fused_attention(q, kk, vv, bias)
         else:
             agg = selsa_attention_reference(q, kk, vv, bias)

@@ -287,8 +287,15 @@ def bbox_decode(
     iou_threshold: float = 0.5,
     max_per_img: int = 100,
     stds=BBOX_STDS,
+    nms_pre: Optional[int] = 2048,
 ) -> nms_ops.DetResult:
-    """Decode head outputs into final fixed-shape detections (test time)."""
+    """Decode head outputs into final fixed-shape detections (test time).
+
+    ``nms_pre`` bounds the multiclass-NMS candidate window (N rois x C
+    classes candidates, nearly all passing the reference's 1e-4 score_thr).
+    2048 is the measured perf sweet spot (the round-2 6144 default cost the
+    streaming bench 33%); exactness-critical callers (parity tests) pass a
+    window covering every candidate."""
     scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
     decoded = box_ops.delta2bbox(
         rois, bbox_pred.astype(jnp.float32), stds=stds, max_shape=img_shape
@@ -297,5 +304,6 @@ def bbox_decode(
         k = decoded.shape[-1] // 4
         decoded = decoded / jnp.tile(jnp.asarray(scale_factor), (k,))
     return nms_ops.multiclass_nms(
-        decoded, scores, score_thr, iou_threshold, max_per_img, box_valid=roi_valid
+        decoded, scores, score_thr, iou_threshold, max_per_img,
+        box_valid=roi_valid, pre_top_k=nms_pre,
     )

@@ -58,6 +58,10 @@ class SelsaConfig:
     test_nms_pre: int = 2000
     test_nms_post: int = 300
     rpn_nms_iou: float = 0.7
+    # multiclass-NMS candidate window at decode (rois x classes candidates):
+    # 2048 = perf sweet spot; parity runs set >= rois*classes for an
+    # unbounded window (see bbox_head.bbox_decode)
+    det_nms_pre: int = 2048
     num_roi_samples: int = 256
     # streaming memo
     num_ref_frames: int = 14
@@ -464,6 +468,7 @@ def inference_step(
     dets = bh.bbox_decode(
         props.boxes, cls_score, bbox_pred, img_shape,
         roi_valid=props.valid, scale_factor=scale_factor,
+        nms_pre=cfg.det_nms_pre,
     )
 
     if update_memo:

@@ -344,9 +344,13 @@ def e2e_pair():
     # test_nms_post=128 keeps the multiclass candidate count (128 rois x 30
     # classes = 3840) under nms_fixed's top-K window so both sides see the
     # exact same candidate set
+    # det_nms_pre=4096 >= 128 rois x 30 classes: the multiclass-NMS window
+    # covers EVERY candidate, so the torch golden (which processes all) and
+    # the flax path see the identical candidate set
     cfg = SelsaConfig(num_classes=30, pad_h=128, pad_w=128,
                       compute_dtype=jnp.float32, frozen_stages=-1,
-                      test_nms_pre=2000, test_nms_post=128, num_ref_frames=2)
+                      test_nms_pre=2000, test_nms_post=128, num_ref_frames=2,
+                      det_nms_pre=4096)
     jmodel = SelsaDetector(cfg=cfg)
     variables = jax.tree_util.tree_map(jnp.asarray, import_selsa_checkpoint(sd))
     anchors = make_anchors(cfg)
