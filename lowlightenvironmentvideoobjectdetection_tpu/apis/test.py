@@ -49,17 +49,38 @@ def single_device_test(
     det_lists: List[List[np.ndarray]] = []
     annotations: List[Dict] = []
     indices = list(indices) if indices is not None else list(range(len(ds)))
+    # Per-video cache of pipeline-prepared reference frames. The
+    # adaptive-stride sampler's frame-0 refs span the whole video, so every
+    # ref would otherwise be pipeline-processed twice: once at frame 0 for
+    # the memo and again when it arrives as a streamed frame. Test pipelines
+    # are deterministic and annotation-independent (gts are read from the
+    # dataset, not the pipeline output), so the prepared dict is reusable.
+    ref_cache: Dict[str, dict] = {}
     for n, i in enumerate(indices):
         s = ds[i]
         info = s["img_info"]
         fid = info.get("frame_id", 0)
-        r = _prepare_one(ds, pipe, info, s.get("ann"))
+        if fid == 0:
+            ref_cache = {}
+        r = ref_cache.pop(info.get("filename", info.get("file_name")), None)
+        if r is None:
+            r = _prepare_one(ds, pipe, info, s.get("ann"))
         ref_imgs = None
         if fid == 0 and s.get("ref_img_infos"):
-            refs = [
-                _prepare_one(ds, pipe, ri)["img"] for ri in s["ref_img_infos"]
-            ]
+            key0 = info.get("filename", info.get("file_name"))
+            if key0 is not None:
+                ref_cache[key0] = r
+            refs = []
+            for ri in s["ref_img_infos"]:
+                key = ri.get("filename", ri.get("file_name"))
+                pr = ref_cache.get(key)
+                if pr is None:
+                    pr = _prepare_one(ds, pipe, ri)
+                if key is not None:
+                    ref_cache[key] = pr
+                refs.append(pr["img"])
             ref_imgs = np.stack([np.asarray(x, np.float32) for x in refs])
+            ref_cache.pop(key0, None)
         out = model.inference_vid_prepared(
             np.asarray(r["img"], np.float32),
             img_shape=r.get("img_shape"),

@@ -9,6 +9,7 @@ short and a long chain to cancel the end-of-chain readback.
 """
 import json
 import time
+from functools import partial
 
 import jax
 
@@ -108,35 +109,43 @@ def main():
     results["clip_fps"] = T / per_call
 
     # -- mode C: multi-stream batched scan ------------------------------
+    # the carried state + frame batch are donated (the frame batch alone is
+    # S*T*7.6 MB f32; without donation the chain holds two copies and S=8
+    # OOMs the 16 GB chip mid-run)
     for S in (2, 4, 8):
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(2, 3))
         def stepC(params, anchors, st, frames, ishape, sfv):
             nst, dets = inference_clip_batch(
                 model, params, st, frames, ishape, sfv, anchors)
             return nst, dets, frames + 1e-12 * dets.scores.sum()
 
-        stS = fresh_state(cfg, jax.random.PRNGKey(4), n=S)
-        frS = jax.random.normal(jax.random.PRNGKey(5),
-                                (S, T, cfg.pad_h, cfg.pad_w, 3))
         ishS = jnp.broadcast_to(img_shape, (S, 2))
         sfS = jnp.broadcast_to(sf, (S, 4))
-        try:
-            st, dets, fr = stepC(params, anchors, stS, frS, ishS, sfS)
-            float(jax.device_get(dets.scores.sum()))
-        except Exception as e:  # OOM at large S
-            results[f"stream{S}_fps"] = f"failed: {type(e).__name__}"
-            continue
 
-        def runC(n):
+        def fresh(S=S):
+            return (fresh_state(cfg, jax.random.PRNGKey(4), n=S),
+                    jax.random.normal(jax.random.PRNGKey(5),
+                                      (S, T, cfg.pad_h, cfg.pad_w, 3)))
+
+        def runC(n, S=S, ishS=ishS, sfS=sfS):
+            st, fr = fresh()  # donated buffers are consumed per run
+            jax.block_until_ready(fr)
             t0 = time.perf_counter()
-            st, fr = stS, frS
             for _ in range(n):
                 st, dets, fr = stepC(params, anchors, st, fr, ishS, sfS)
             jax.device_get(dets.scores.sum())
             return time.perf_counter() - t0
 
-        per_call = chain_diff(runC)
-        results[f"stream{S}_fps"] = S * T / per_call
+        try:
+            st, fr = fresh()
+            st, dets, fr = stepC(params, anchors, st, fr, ishS, sfS)
+            float(jax.device_get(dets.scores.sum()))
+            del st, dets, fr
+            per_call = chain_diff(runC)
+            results[f"stream{S}_fps"] = S * T / per_call
+        except Exception as e:  # OOM at large S
+            results[f"stream{S}_fps"] = f"failed: {type(e).__name__}"
+            continue
 
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in results.items()}))

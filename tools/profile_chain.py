@@ -109,4 +109,23 @@ def step_head(p, rf):
 
 results["head_kv_ms"] = chain_time(step_head, rf0)
 
+# 5. bbox decode (delta2bbox + multiclass matrix NMS window)
+from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads import bbox_head as bh
+
+cls0 = jax.random.normal(jax.random.PRNGKey(4), (ppost, cfg.num_classes + 1))
+reg0 = jax.random.normal(jax.random.PRNGKey(5), (ppost, 4 * cfg.num_classes)) * 0.1
+scale_factor = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+roi_valid = jnp.ones((ppost,), bool)
+
+
+@jax.jit
+def step_decode(p, cl):
+    dets = bh.bbox_decode(
+        rois0, cl, reg0, img_shape, roi_valid=roi_valid,
+        scale_factor=scale_factor, nms_pre=cfg.det_nms_pre)
+    return cl + 1e-12 * dets.scores.sum()
+
+
+results["decode_nms_ms"] = chain_time(step_decode, cls0)
+
 print(json.dumps({k: round(v, 3) for k, v in results.items()}))
