@@ -127,20 +127,45 @@ def nms_fixed(
     x1, y1, x2, y2 = sx1[:k], sy1[:k], sx2[:k], sy2[:k]
     alive = top_scores > NEG_INF / 2
 
-    # pairwise IoU among candidates from unpacked [K] coordinate vectors
-    # (broadcasting [K,1]x[1,K] -> [K,K]; no trailing tiny dims)
+    # The suppression relation O_ij ("strictly higher-ranked j overlaps i")
+    # is consumed ONLY bitwise, so it is built directly as packed uint32
+    # bitsets over j: [K, W=ceil(K/32)] words (~0.5 MB at K=2048) instead of
+    # a [K, K] bool/f32 matrix (4-16 MB). XLA fuses the whole broadcast IoU
+    # chain into the pack reduction — the [K, K] intermediates never hit
+    # HBM, and each fixpoint iteration touches 32x fewer bytes.
+    w = (k + 31) // 32
+    kp = w * 32
+    pad = kp - k
+
+    def padded(v, fill):
+        return jnp.pad(v, (0, pad), constant_values=fill) if pad else v
+
+    px1, py1 = padded(x1, 1.0), padded(y1, 1.0)
+    px2, py2 = padded(x2, 0.0), padded(y2, 0.0)  # zero-area pads
+    palive = padded(alive, False)
+    bit_w = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+
     iw = jnp.maximum(
-        jnp.minimum(x2[:, None], x2[None, :])
-        - jnp.maximum(x1[:, None], x1[None, :]), 0.0)
+        jnp.minimum(x2[:, None], px2[None, :])
+        - jnp.maximum(x1[:, None], px1[None, :]), 0.0)
     ih = jnp.maximum(
-        jnp.minimum(y2[:, None], y2[None, :])
-        - jnp.maximum(y1[:, None], y1[None, :]), 0.0)
+        jnp.minimum(y2[:, None], py2[None, :])
+        - jnp.maximum(y1[:, None], py1[None, :]), 0.0)
     inter = iw * ih
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
-    # O_ij: candidate j (strictly higher-ranked) suppresses candidate i
-    tri = jnp.arange(k)[None, :] < jnp.arange(k)[:, None]
-    overlap = (iou > iou_threshold) & tri & alive[None, :]
+    parea = padded(area, 0.0)
+    iou = inter / jnp.maximum(area[:, None] + parea[None, :] - inter, 1e-6)
+    tri = jnp.arange(kp)[None, :] < jnp.arange(k)[:, None]
+    overlap = (iou > iou_threshold) & tri & palive[None, :]
+    bits = jnp.sum(
+        overlap.reshape(k, w, 32) * bit_w[None, None, :],
+        axis=-1, dtype=jnp.uint32)  # [K, W]
+
+    def pack_keep(kb):  # [K] bool -> [W] uint32
+        return jnp.sum(
+            padded(kb, False).reshape(w, 32) * bit_w[None, :],
+            axis=-1, dtype=jnp.uint32)
 
     def cond(carry):
         keep, prev, it = carry
@@ -148,7 +173,8 @@ def nms_fixed(
 
     def body(carry):
         keep, _, it = carry
-        new = alive & ~jnp.any(overlap & keep[None, :], axis=1)
+        kw = pack_keep(keep)
+        new = alive & ~jnp.any((bits & kw[None, :]) != 0, axis=1)
         return new, keep, it + 1
 
     keep, _, _ = jax.lax.while_loop(
