@@ -152,6 +152,46 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, optionally computed via space-to-depth.
+
+    With 3 (or 4, RAW) input channels the MXU runs the stem at ~3/128
+    contraction efficiency — the classic TPU fix (MLPerf ResNet) packs the
+    input 2x2 into 4C channels and convolves with an exactly-equivalent
+    repacked kernel: out[i] = sum_k w[k] x[2i+k-3] rewritten over
+    X[j,b] = x[2j+b] as a 4-tap stride-1 conv with taps
+    W2[t,b] = w[2t+b-1] (zero-padded at the out-of-range corner). The
+    parameter stays the canonical [7, 7, C, out] tensor — the tree and any
+    imported torch checkpoints are unchanged; only the compute is repacked.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    space_to_depth: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, c, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        n, h, w = x.shape[:3]
+        if not (self.space_to_depth and h % 2 == 0 and w % 2 == 0):
+            return lax.conv_general_dilated(
+                x, k, window_strides=(2, 2), padding=[(3, 3)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # wp[2t+b] = w[2t+b-1]; index 0 (t=0, b=0 -> source -1) is zero
+        wp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = wp.reshape(4, 2, 4, 2, c, self.features)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return lax.conv_general_dilated(
+            xs, w2, window_strides=(1, 1), padding=[(2, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     """Multi-stage ResNet.
 
@@ -171,6 +211,9 @@ class ResNet(nn.Module):
     groups: int = 1  # > 1 = ResNeXt (resnext.py:12)
     base_width: int = 4
     dtype: Any = jnp.bfloat16
+    # space-to-depth stem (see StemConv): exact same math, ~4x better MXU
+    # utilization on the 3-channel 7x7 input conv
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -179,9 +222,9 @@ class ResNet(nn.Module):
         expansion = 4 if block_type == "bottleneck" else 1
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.base_channels, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-            use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(
+            self.base_channels, dtype=self.dtype,
+            space_to_depth=self.stem_s2d, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

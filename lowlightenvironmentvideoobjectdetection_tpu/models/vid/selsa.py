@@ -100,6 +100,10 @@ class SelsaConfig:
     num_shared_fcs: int = 2
     # 'xla' (separable-matmul, default) or 'pallas' (VMEM-resident kernel)
     roi_align_impl: str = "xla"
+    # space-to-depth stem conv (backbones/resnet.py StemConv): exact same
+    # math as the plain 7x7/2 stem, ~4x better MXU utilization on the
+    # 3/4-channel input
+    stem_s2d: bool = True
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -141,6 +145,7 @@ class SelsaDetector(nn.Module):
                 out_indices=c.out_indices,
                 frozen_stages=c.frozen_stages,
                 dtype=c.compute_dtype,
+                stem_s2d=c.stem_s2d,
                 name="backbone",
             )
         self.neck = ChannelMapper(
