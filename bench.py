@@ -38,8 +38,12 @@ def main():
 
     s, p = cfg.num_ref_frames, cfg.test_nms_post
     rng = jax.random.PRNGKey(1)
-    kv = lambda i: (jax.random.normal(jax.random.fold_in(rng, i), (s, p, 1024)) * 0.1,
-                    jax.random.normal(jax.random.fold_in(rng, i + 10), (s, p, 1024)) * 0.1)
+    # memo dtype matches the real init_video_state output: the bbox head's
+    # project_kv runs in head_dtype (bf16), so the streamed K/V cache is bf16
+    kvd = cfg.head_dtype if cfg.head_dtype is not None else cfg.compute_dtype
+    kv = lambda i: (
+        (jax.random.normal(jax.random.fold_in(rng, i), (s, p, 1024)) * 0.1).astype(kvd),
+        (jax.random.normal(jax.random.fold_in(rng, i + 10), (s, p, 1024)) * 0.1).astype(kvd))
     state = VideoState(
         ref_kv=(kv(0), kv(1)),
         ref_valid=jnp.ones((s, p), bool),

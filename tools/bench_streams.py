@@ -34,8 +34,11 @@ def fresh_state(cfg, rng, n=None):
     s, p = cfg.num_ref_frames, cfg.test_nms_post
     shape = (s, p, 1024) if n is None else (n, s, p, 1024)
     vshape = (s, p) if n is None else (n, s, p)
-    kv = lambda i: (jax.random.normal(jax.random.fold_in(rng, i), shape) * 0.1,
-                    jax.random.normal(jax.random.fold_in(rng, i + 10), shape) * 0.1)
+    # memo dtype matches the real init_video_state output (bf16 project_kv)
+    kvd = cfg.head_dtype if cfg.head_dtype is not None else cfg.compute_dtype
+    kv = lambda i: (
+        (jax.random.normal(jax.random.fold_in(rng, i), shape) * 0.1).astype(kvd),
+        (jax.random.normal(jax.random.fold_in(rng, i + 10), shape) * 0.1).astype(kvd))
     return VideoState(
         ref_kv=(kv(0), kv(1)),
         ref_valid=jnp.ones(vshape, bool),
