@@ -206,8 +206,11 @@ class SelsaDetector(nn.Module):
                 f, rois, spatial_scale=1.0 / self.cfg.stride,
                 out_size=7, sampling_ratio=2,
             )
+        # no f32 up-cast: roi_align's interp now follows the feature dtype
+        # (bf16 in production, f32 under the parity configs) — the bf16 neck
+        # output carries no extra precision an f32 interp could preserve
         return roi_align(
-            neck_feat.astype(jnp.float32),
+            neck_feat,
             rois,
             spatial_scale=1.0 / self.cfg.stride,
             batch_inds=batch_inds,
