@@ -22,6 +22,7 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig,
     SelsaDetector,
     VideoState,
+    empty_video_state,
     inference_step,
     init_params,
     make_anchors,
@@ -36,19 +37,9 @@ def main():
     params = init_params(model, jax.random.PRNGKey(0), small=True)
     anchors = make_anchors(cfg)
 
-    s, p = cfg.num_ref_frames, cfg.test_nms_post
-    rng = jax.random.PRNGKey(1)
-    # memo dtype matches the real init_video_state output: the bbox head's
-    # project_kv runs in head_dtype (bf16), so the streamed K/V cache is bf16
-    kvd = cfg.head_dtype if cfg.head_dtype is not None else cfg.compute_dtype
-    kv = lambda i: (
-        (jax.random.normal(jax.random.fold_in(rng, i), (s, p, 1024)) * 0.1).astype(kvd),
-        (jax.random.normal(jax.random.fold_in(rng, i + 10), (s, p, 1024)) * 0.1).astype(kvd))
-    state = VideoState(
-        ref_kv=(kv(0), kv(1)),
-        ref_valid=jnp.ones((s, p), bool),
-        next_slot=jnp.zeros((), jnp.int32),
-    )
+    # canonical memo layout + dtype (head-major bf16 K/V, as the real
+    # init_video_state produces)
+    state = empty_video_state(cfg, rng=jax.random.PRNGKey(1))
     img_shape = jnp.asarray([600.0, 1000.0])
     scale_factor = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 

@@ -46,6 +46,15 @@ class SelsaAggregator(nn.Module):
         """[M, C] -> ([M, C], [M, C]) key/value projections (flat, cacheable)."""
         return self.ref_fc_embed(ref_x), self.ref_fc(ref_x)
 
+    def project_kv_hm(self, ref_x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[M, C] -> ([nb, M, hd], [nb, M, hd]) head-major cached K/V — the
+        layout the fused attention kernel consumes directly, and the form the
+        streaming memo stores so no per-frame transpose of the reference
+        cache is needed."""
+        k = self._split(self.ref_fc_embed(ref_x)).transpose(1, 0, 2)
+        v = self._split(self.ref_fc(ref_x)).transpose(1, 0, 2)
+        return k, v
+
     def attend_cached(
         self,
         q: jnp.ndarray,
@@ -53,25 +62,25 @@ class SelsaAggregator(nn.Module):
         v: jnp.ndarray,
         ref_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """q: [N, nb, hd]; k, v: [M, C] cached projections; ref_mask: [M].
+        """q: [N, nb, hd]; k, v: [nb, M, hd] head-major cached projections
+        (project_kv_hm / the streaming memo layout); ref_mask: [M].
         Fused Pallas attention on TPU, einsum reference elsewhere."""
         from ...ops.fused_attention import (
-            selsa_attention_reference,
-            selsa_fused_attention,
+            selsa_attention_reference_hm,
+            selsa_fused_attention_hm,
         )
 
         import os
 
-        m = k.shape[0]
+        m = k.shape[1]
         bias = (jnp.where(ref_mask, 0.0, -1e30).astype(jnp.float32)
                 if ref_mask is not None else jnp.zeros((m,), jnp.float32))
-        kk, vv = self._split(k), self._split(v)
         # LLVOD_FUSED_ATTN=0 forces the plain-einsum path on TPU (A/B knob)
         if (jax.default_backend() == "tpu"
                 and os.environ.get("LLVOD_FUSED_ATTN", "1") != "0"):
-            agg = selsa_fused_attention(q, kk, vv, bias)
+            agg = selsa_fused_attention_hm(q, k, v, bias)
         else:
-            agg = selsa_attention_reference(q, kk, vv, bias)
+            agg = selsa_attention_reference_hm(q, k, v, bias)
         agg = agg.astype(self.dtype).reshape(-1, self.in_channels)
         return self.fc(agg)
 

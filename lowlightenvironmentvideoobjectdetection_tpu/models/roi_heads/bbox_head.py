@@ -150,14 +150,15 @@ class Shared2FCBBoxHead(nn.Module):
     def ref_transform_kv(self, ref_x: jnp.ndarray):
         """Reference-side cached K/V per shared-FC stage: the aggregator's
         ref projections (ref_fc_embed / ref_fc) of the pre-relu activations.
-        Returns a tuple over stages of (k [M, C], v [M, C]) — what the
-        streaming memo stores, so per-frame attention reads projections
-        directly instead of re-projecting cached activations every frame."""
+        Returns a tuple over stages of (k [nb, M, hd], v [nb, M, hd]) —
+        head-major, the fused attention kernel's native operand layout: what
+        the streaming memo stores, so per-frame attention reads projections
+        directly (no re-projection, no transpose) every frame."""
         ref_x = ref_x.reshape(ref_x.shape[0], -1).astype(self.dtype)
         kvs = []
         for i, fc in enumerate(self.shared_fcs):
             ref_x = fc(ref_x)
-            kvs.append(self.aggregators[i].project_kv(ref_x))
+            kvs.append(self.aggregators[i].project_kv_hm(ref_x))
             ref_x = nn.relu(ref_x)
         return tuple(kvs)
 
@@ -182,10 +183,11 @@ class Shared2FCBBoxHead(nn.Module):
             xf = fc(x)
             cur = xf if i == 0 else fc(r)  # ref-side activation, pre-relu
             r = nn.relu(cur)
-            ck, cv = self.aggregators[i].project_kv(cur)
+            ck, cv = self.aggregators[i].project_kv_hm(cur)
             cur_kvs.append((ck, cv))
-            k = jnp.concatenate([ref_kvs[i][0].astype(ck.dtype), ck], axis=0)
-            v = jnp.concatenate([ref_kvs[i][1].astype(cv.dtype), cv], axis=0)
+            # head-major [nb, M, hd]: ref cache ++ this frame's rois on axis 1
+            k = jnp.concatenate([ref_kvs[i][0].astype(ck.dtype), ck], axis=1)
+            v = jnp.concatenate([ref_kvs[i][1].astype(cv.dtype), cv], axis=1)
             q = self.aggregators[i].project_q(xf)
             x = xf + self.aggregators[i].attend_cached(q, k, v, mask)
             x = nn.relu(x)

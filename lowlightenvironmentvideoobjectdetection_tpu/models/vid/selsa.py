@@ -380,9 +380,14 @@ class VideoState(NamedTuple):
     frame 0 and keeps them. Caching the aggregator's K/V projections (not raw
     activations) removes two 1024x1024 matmuls over ~4200 ref rois from every
     streamed frame — the projections only depend on the reference frames.
+
+    K/V are stored HEAD-MAJOR ([nb, S, P, hd], nb=16 attention heads): the
+    fused attention kernel's native operand layout, so the per-frame flatten
+    to [nb, S*P, hd] is a free reshape — storing [S, P, C] flat cost ~0.3 ms
+    per frame in XLA head-split transposes of the ~4500-roi cache.
     """
 
-    # per shared-FC stage: (k [S, P, 1024], v [S, P, 1024])
+    # per shared-FC stage: (k [nb, S, P, hd], v [nb, S, P, hd])
     ref_kv: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
     ref_valid: jnp.ndarray  # [S, P] bool
     next_slot: jnp.ndarray  # [] int32 (fix-stride rolling pointer)
@@ -390,6 +395,35 @@ class VideoState(NamedTuple):
     # extractor is TemporalRoIAlign (the temporal attention re-reads the raw
     # maps each frame); None for the plain extractor
     ref_maps: Optional[jnp.ndarray] = None
+
+
+def empty_video_state(cfg: "SelsaConfig", rng=None, dtype=None) -> VideoState:
+    """A full-validity VideoState in the canonical memo layout (head-major
+    [nb, S, P, hd], bf16 to match project_kv's output) — for benches,
+    harnesses, and export tracing. With ``rng``, K/V are small random values;
+    otherwise zeros."""
+    from ..roi_heads.bbox_head import Shared2FCBBoxHead
+
+    nb = Shared2FCBBoxHead.num_attention_blocks
+    c = Shared2FCBBoxHead.fc_out_channels
+    if dtype is None:
+        dtype = cfg.head_dtype if cfg.head_dtype is not None else cfg.compute_dtype
+    s, p = cfg.num_ref_frames, cfg.test_nms_post
+    shape = (nb, s, p, c // nb)
+
+    def one(i):
+        if rng is None:
+            return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        return ((jax.random.normal(jax.random.fold_in(rng, i), shape) * 0.1
+                 ).astype(dtype),
+                (jax.random.normal(jax.random.fold_in(rng, i + 10), shape) * 0.1
+                 ).astype(dtype))
+
+    return VideoState(
+        ref_kv=(one(0), one(1)),
+        ref_valid=jnp.ones((s, p), bool),
+        next_slot=jnp.zeros((), jnp.int32),
+    )
 
 
 def init_video_state(
@@ -416,8 +450,10 @@ def init_video_state(
     rfeats = model.apply(params, neck_feat, rois, binds, method=SelsaDetector.roi_feats)
     kvs = model.apply(params, rfeats, method=SelsaDetector.ref_transform_kv)
     p = cfg.test_nms_post
+    # head-major [nb, S*P, hd] -> [nb, S, P, hd] (free: axis-1 split)
     kvs = tuple(
-        (k.reshape(s, p, -1), v.reshape(s, p, -1)) for k, v in kvs)
+        (k.reshape(k.shape[0], s, p, -1), v.reshape(v.shape[0], s, p, -1))
+        for k, v in kvs)
     ref_maps = (neck_feat.astype(cfg.compute_dtype)
                 if cfg.roi_extractor == "temporal" else None)
     return VideoState(kvs, props.valid, jnp.asarray(0, jnp.int32), ref_maps)
@@ -465,8 +501,10 @@ def inference_step(
             params, neck_feat[0], props.boxes, binds,
             method=SelsaDetector.roi_feats,
         )
+    # head-major [nb, S, P, hd] -> [nb, S*P, hd]: a free reshape
     ref_kvs = tuple(
-        (k.reshape(-1, k.shape[-1]), v.reshape(-1, v.shape[-1]))
+        (k.reshape(k.shape[0], -1, k.shape[-1]),
+         v.reshape(v.shape[0], -1, v.shape[-1]))
         for k, v in state.ref_kv)
     ref_mask = state.ref_valid.reshape(-1)
     (cls_score, bbox_pred), cur_kvs = model.apply(
@@ -482,9 +520,10 @@ def inference_step(
     if update_memo:
         do = jnp.asarray(do_update, bool)
         slot = state.next_slot
+        # cur_kvs are head-major [nb, P, hd]; slots live on axis 1
         new_kv = tuple(
-            (jnp.where(do, bk.at[slot].set(ck.astype(bk.dtype)), bk),
-             jnp.where(do, bv.at[slot].set(cv.astype(bv.dtype)), bv))
+            (jnp.where(do, bk.at[:, slot].set(ck.astype(bk.dtype)), bk),
+             jnp.where(do, bv.at[:, slot].set(cv.astype(bv.dtype)), bv))
             for (bk, bv), (ck, cv) in zip(state.ref_kv, cur_kvs)
         )
         new_valid = jnp.where(

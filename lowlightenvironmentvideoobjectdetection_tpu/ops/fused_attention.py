@@ -50,23 +50,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def selsa_fused_attention(
+def selsa_fused_attention_hm(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q: [N, nb, hd]; k, v: [M, nb, hd]; bias: [M] additive f32
-    (0 for live rois, -1e30 for padded). Returns [N, nb, hd] f32."""
+    """Head-major variant: q: [N, nb, hd]; k, v: [nb, M, hd] — the kernel's
+    native operand layout. The streaming memo stores K/V in this form
+    (selsa.py VideoState) so no per-frame [M, nb, hd] -> [nb, M, hd]
+    transpose of the ~4500-roi cache is ever materialized (profiled at
+    ~0.3 ms/frame as XLA copies before this change). bias: [M] additive f32
+    (0 live, -1e30 padded). Returns [N, nb, hd] f32."""
     n, nb, hd = q.shape
-    m = k.shape[0]
+    m = k.shape[1]
     npad = _round_up(n, 8)
     mpad = _round_up(m, 128)
 
     qt = jnp.pad(q, ((0, npad - n), (0, 0), (0, 0))).transpose(1, 0, 2)
-    kt = jnp.pad(k, ((0, mpad - m), (0, 0), (0, 0))).transpose(1, 0, 2)
-    vt = jnp.pad(v, ((0, mpad - m), (0, 0), (0, 0))).transpose(1, 0, 2)
+    kt = jnp.pad(k, ((0, 0), (0, mpad - m), (0, 0)))
+    vt = jnp.pad(v, ((0, 0), (0, mpad - m), (0, 0)))
     bias_p = jnp.pad(bias.astype(jnp.float32), (0, mpad - m),
                      constant_values=-1e30).reshape(1, mpad)
 
@@ -91,11 +95,24 @@ def selsa_fused_attention(
     return out.transpose(1, 0, 2)[:n]
 
 
-def selsa_attention_reference(q, k, v, bias):
-    """Plain-XLA reference of the same math (used on CPU and in tests)."""
+def selsa_fused_attention(q, k, v, bias, interpret: bool = False):
+    """Roi-major compatibility wrapper: q: [N, nb, hd]; k, v: [M, nb, hd]."""
+    return selsa_fused_attention_hm(
+        q, k.transpose(1, 0, 2), v.transpose(1, 0, 2), bias,
+        interpret=interpret)
+
+
+def selsa_attention_reference_hm(q, k, v, bias):
+    """Plain-XLA reference, head-major k/v: [nb, M, hd] (CPU and tests)."""
     hd = q.shape[-1]
-    s = jnp.einsum("nbc,mbc->bnm", q.astype(jnp.float32),
+    s = jnp.einsum("nbc,bmc->bnm", q.astype(jnp.float32),
                    k.astype(jnp.float32)) / (hd ** 0.5)
     s = s + bias.astype(jnp.float32)[None, None, :]
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bnm,mbc->nbc", p, v.astype(jnp.float32))
+    return jnp.einsum("bnm,bmc->nbc", p, v.astype(jnp.float32))
+
+
+def selsa_attention_reference(q, k, v, bias):
+    """Plain-XLA reference of the same math, roi-major k/v: [M, nb, hd]."""
+    return selsa_attention_reference_hm(
+        q, k.transpose(1, 0, 2), v.transpose(1, 0, 2), bias)

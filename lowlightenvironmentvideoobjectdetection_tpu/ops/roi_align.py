@@ -73,6 +73,12 @@ def roi_align_matmul(
     sub = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
     bins = jnp.arange(out_size, dtype=jnp.float32)
 
+    # chunk exactly when possible: n=300 with chunk=64 pads to 5x64=320 and
+    # the trailing [:n] slice forces a relayout copy of the whole output
+    # (~110 us/step profiled); 5 chunks of 60 need neither
+    nchunks = -(-n // chunk)
+    if n % nchunks == 0 and (n // nchunks) % 4 == 0:
+        chunk = n // nchunks
     pad = (-n) % chunk
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, pad), (0, 0)))
     # The per-chunk interpolation intermediate is this op's entire cost on

@@ -45,10 +45,10 @@ def test_kv_stream_matches_activation_stream():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(reg_k), np.asarray(reg_a),
                                rtol=1e-4, atol=1e-4)
-    # the memo entries are the projections of the returned activations
+    # the memo entries are head-major projections of the returned activations
     for (ck, cv), act in zip(cur_kvs, cur_stages):
-        assert ck.shape == (x.shape[0], 1024)
-        assert cv.shape == (x.shape[0], 1024)
+        assert ck.shape == (16, x.shape[0], 64)
+        assert cv.shape == (16, x.shape[0], 64)
 
 
 def test_fused_attention_interpret_matches_reference():

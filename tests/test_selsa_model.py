@@ -101,8 +101,9 @@ class TestSelsaStream:
         sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 
         state = init_video_state(model, params, ref_imgs, img_shape, anchors)
-        assert state.ref_kv[0][0].shape == (2, TINY.test_nms_post, 1024)
-        assert state.ref_kv[0][1].shape == (2, TINY.test_nms_post, 1024)
+        # head-major memo layout: [nb, S, P, hd]
+        assert state.ref_kv[0][0].shape == (16, 2, TINY.test_nms_post, 64)
+        assert state.ref_kv[0][1].shape == (16, 2, TINY.test_nms_post, 64)
 
         frame = jnp.asarray(rng.uniform(-2, 2, (128, 128, 3)).astype(np.float32))
         state2, dets = inference_step(
@@ -127,10 +128,10 @@ class TestSelsaStream:
             model, params, state, frame, img_shape, None, anchors, update_memo=True
         )
         assert int(state2.next_slot) == 1
-        # slot 0 replaced
+        # slot 0 replaced (slots live on axis 1 of the head-major memo)
         assert not np.allclose(
-            np.asarray(state2.ref_kv[0][0][0]), np.asarray(state.ref_kv[0][0][0])
+            np.asarray(state2.ref_kv[0][0][:, 0]), np.asarray(state.ref_kv[0][0][:, 0])
         )
         np.testing.assert_array_equal(
-            np.asarray(state2.ref_kv[0][0][1]), np.asarray(state.ref_kv[0][0][1])
+            np.asarray(state2.ref_kv[0][0][:, 1]), np.asarray(state.ref_kv[0][0][:, 1])
         )

@@ -24,6 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+from lowlightenvironmentvideoobjectdetection_tpu.models.vid import selsa as S
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig, SelsaDetector, VideoState, inference_step, init_params,
     make_anchors,
@@ -35,15 +36,7 @@ def bench_one(nms_pre: int) -> float:
     model = SelsaDetector(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), small=True)
     anchors = make_anchors(cfg)
-    s, p = cfg.num_ref_frames, cfg.test_nms_post
-    rng = jax.random.PRNGKey(1)
-    kv = lambda i: (jax.random.normal(jax.random.fold_in(rng, i), (s, p, 1024)) * 0.1,
-                    jax.random.normal(jax.random.fold_in(rng, i + 10), (s, p, 1024)) * 0.1)
-    state = VideoState(
-        ref_kv=(kv(0), kv(1)),
-        ref_valid=jnp.ones((s, p), bool),
-        next_slot=jnp.zeros((), jnp.int32),
-    )
+    state = S.empty_video_state(cfg, rng=jax.random.PRNGKey(1))
     img_shape = jnp.asarray([600.0, 1000.0])
     sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
     frame = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))

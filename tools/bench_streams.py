@@ -22,6 +22,7 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig,
     SelsaDetector,
     VideoState,
+    empty_video_state,
     inference_clip,
     inference_clip_batch,
     inference_step,
@@ -31,19 +32,15 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
 
 
 def fresh_state(cfg, rng, n=None):
-    s, p = cfg.num_ref_frames, cfg.test_nms_post
-    shape = (s, p, 1024) if n is None else (n, s, p, 1024)
-    vshape = (s, p) if n is None else (n, s, p)
-    # memo dtype matches the real init_video_state output (bf16 project_kv)
-    kvd = cfg.head_dtype if cfg.head_dtype is not None else cfg.compute_dtype
-    kv = lambda i: (
-        (jax.random.normal(jax.random.fold_in(rng, i), shape) * 0.1).astype(kvd),
-        (jax.random.normal(jax.random.fold_in(rng, i + 10), shape) * 0.1).astype(kvd))
+    # canonical memo layout (head-major bf16); n = leading stream batch
+    st = empty_video_state(cfg, rng=rng)
+    if n is None:
+        return st
+    tile = lambda a: jnp.broadcast_to(a[None], (n,) + a.shape)
     return VideoState(
-        ref_kv=(kv(0), kv(1)),
-        ref_valid=jnp.ones(vshape, bool),
-        next_slot=(jnp.zeros((), jnp.int32) if n is None
-                   else jnp.zeros((n,), jnp.int32)),
+        ref_kv=tuple((tile(k), tile(v)) for k, v in st.ref_kv),
+        ref_valid=tile(st.ref_valid),
+        next_slot=jnp.zeros((n,), jnp.int32),
     )
 
 

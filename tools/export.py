@@ -48,13 +48,7 @@ def main():
     model = init_model(model_type=mtype, checkpoint=args.checkpoint, **mcfg)
     c = model.cfg
 
-    s, ppost = c.num_ref_frames, c.test_nms_post
-    zz = lambda: (jnp.zeros((s, ppost, 1024)), jnp.zeros((s, ppost, 1024)))
-    state = S.VideoState(
-        ref_kv=(zz(), zz()),
-        ref_valid=jnp.ones((s, ppost), bool),
-        next_slot=jnp.zeros((), jnp.int32),
-    )
+    state = S.empty_video_state(c)
     frame = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
     img_shape = jnp.asarray([float(c.pad_h), float(c.pad_w)])
     sf = jnp.ones((4,))

@@ -19,6 +19,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+from lowlightenvironmentvideoobjectdetection_tpu.models.vid import selsa as S
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig, SelsaDetector, VideoState, init_params, make_anchors)
 from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
@@ -32,15 +33,7 @@ params = init_params(model, jax.random.PRNGKey(0), small=True)
 anchors = make_anchors(cfg)
 img_shape = jnp.asarray([600.0, 1000.0])
 sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
-s, p = cfg.num_ref_frames, cfg.test_nms_post
-rng = jax.random.PRNGKey(1)
-# memo dtype matches the real init_video_state output (bf16 project_kv)
-kvd = cfg.head_dtype if cfg.head_dtype is not None else cfg.compute_dtype
-kv = lambda i: (
-    (jax.random.normal(jax.random.fold_in(rng, i), (s, p, 1024)) * 0.1).astype(kvd),
-    (jax.random.normal(jax.random.fold_in(rng, i + 10), (s, p, 1024)) * 0.1).astype(kvd))
-state0 = VideoState(ref_kv=(kv(0), kv(1)), ref_valid=jnp.ones((s, p), bool),
-                    next_slot=jnp.zeros((), jnp.int32))
+state0 = S.empty_video_state(cfg, rng=jax.random.PRNGKey(1))
 frame0 = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
 
 
@@ -68,7 +61,8 @@ def stage_step(upto):
                              method=SelsaDetector.roi_feats)
         if upto == "roi":
             return state, rfeats.astype(jnp.float32).sum()
-        ref_kvs = tuple((k.reshape(-1, k.shape[-1]), v.reshape(-1, v.shape[-1]))
+        ref_kvs = tuple((k.reshape(k.shape[0], -1, k.shape[-1]),
+                         v.reshape(v.shape[0], -1, v.shape[-1]))
                         for k, v in state.ref_kv)
         (cls_score, bbox_pred), _ = model.apply(
             params, rfeats, ref_kvs, state.ref_valid.reshape(-1), props.valid,

@@ -91,8 +91,8 @@ results["roi_feats_ms"] = chain_time(step_roi, rois0)
 
 # 4. kv-cached fused head
 s, ppost = cfg.num_ref_frames, cfg.test_nms_post
-kv = lambda: (jnp.zeros((s * ppost, 1024), jnp.bfloat16),
-              jnp.zeros((s * ppost, 1024), jnp.bfloat16))
+kv = lambda: (jnp.zeros((16, s * ppost, 64), jnp.bfloat16),
+              jnp.zeros((16, s * ppost, 64), jnp.bfloat16))
 ref_kvs = (kv(), kv())
 ref_mask = jnp.ones((s * ppost,), bool)
 self_mask = jnp.ones((ppost,), bool)
