@@ -22,6 +22,7 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig,
     SelsaDetector,
     VideoState,
+    cast_params_for_inference,
     empty_video_state,
     inference_step,
     init_params,
@@ -34,7 +35,8 @@ BASELINE_FPS = 7.5
 def main():
     cfg = SelsaConfig()
     model = SelsaDetector(cfg=cfg)
-    params = init_params(model, jax.random.PRNGKey(0), small=True)
+    params = cast_params_for_inference(
+        init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
 
     # canonical memo layout + dtype (head-major bf16 K/V, as the real

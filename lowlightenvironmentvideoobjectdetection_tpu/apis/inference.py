@@ -56,6 +56,13 @@ class VIDModel:
         if params is None:
             params = S.init_params(self.model, jax.random.PRNGKey(rng_seed),
                                    small=True)
+        # bf16-store the weights for inference on TPU (halves the per-frame
+        # weight stream, numerically identical to flax's per-use cast); CPU
+        # keeps f32 — bf16 matmuls are slower there and the compute_dtype may
+        # be f32 (parity configs)
+        if (jax.default_backend() == "tpu"
+                and self.cfg.compute_dtype == jnp.bfloat16):
+            params = S.cast_params_for_inference(params)
         self.params = params
         self._S = S
         self.state = None

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid import selsa as S
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
-    SelsaConfig, SelsaDetector, VideoState, inference_step, init_params,
+    SelsaConfig, SelsaDetector, VideoState,
+    cast_params_for_inference, inference_step, init_params,
     make_anchors,
 )
 
@@ -34,7 +35,8 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
 def bench_one(nms_pre: int) -> float:
     cfg = SelsaConfig(test_nms_pre=nms_pre)
     model = SelsaDetector(cfg=cfg)
-    params = init_params(model, jax.random.PRNGKey(0), small=True)
+    params = cast_params_for_inference(
+        init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
     state = S.empty_video_state(cfg, rng=jax.random.PRNGKey(1))
     img_shape = jnp.asarray([600.0, 1000.0])

@@ -22,6 +22,7 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig,
     SelsaDetector,
     VideoState,
+    cast_params_for_inference,
     empty_video_state,
     inference_clip,
     inference_clip_batch,
@@ -56,7 +57,8 @@ def chain_diff(run, short=3, long=13):
 def main():
     cfg = SelsaConfig()
     model = SelsaDetector(cfg=cfg)
-    params = init_params(model, jax.random.PRNGKey(0), small=True)
+    params = cast_params_for_inference(
+        init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
     img_shape = jnp.asarray([600.0, 1000.0])
     sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])

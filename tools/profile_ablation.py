@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid import selsa as S
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
-    SelsaConfig, SelsaDetector, VideoState, init_params, make_anchors)
+    SelsaConfig, SelsaDetector, VideoState,
+    cast_params_for_inference, init_params, make_anchors)
 from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads import (
     rpn_head as rpn)
 from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads import (
@@ -29,7 +30,8 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.roi_heads import (
 
 cfg = SelsaConfig()
 model = SelsaDetector(cfg=cfg)
-params = init_params(model, jax.random.PRNGKey(0), small=True)
+params = cast_params_for_inference(
+    init_params(model, jax.random.PRNGKey(0), small=True))
 anchors = make_anchors(cfg)
 img_shape = jnp.asarray([600.0, 1000.0])
 sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])

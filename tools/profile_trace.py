@@ -23,7 +23,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
-    SelsaConfig, SelsaDetector, VideoState, empty_video_state, inference_step,
+    SelsaConfig, SelsaDetector, VideoState,
+    cast_params_for_inference, empty_video_state, inference_step,
     init_params, make_anchors)
 
 
@@ -36,7 +37,8 @@ def main():
 
     cfg = SelsaConfig(depth=args.depth)
     model = SelsaDetector(cfg=cfg)
-    params = init_params(model, jax.random.PRNGKey(0), small=True)
+    params = cast_params_for_inference(
+        init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
     state = empty_video_state(cfg, rng=jax.random.PRNGKey(1))
     frame = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
