@@ -84,6 +84,44 @@ class SelsaAggregator(nn.Module):
         agg = agg.astype(self.dtype).reshape(-1, self.in_channels)
         return self.fc(agg)
 
+    def attend_cached2(
+        self,
+        q: jnp.ndarray,
+        k_memo: jnp.ndarray,
+        v_memo: jnp.ndarray,
+        k_cur: jnp.ndarray,
+        v_cur: jnp.ndarray,
+        memo_mask: jnp.ndarray,
+        cur_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Two-slab streaming attention: memo K/V [nb, M1, hd] plus this
+        frame's own K/V [nb, M2, hd], joint softmax — the concatenated
+        [nb, M1+M2, hd] K/V never exists (no HBM concat round trip). Same
+        math as ``attend_cached(q, concat(k), concat(v), concat(mask))``."""
+        import os
+
+        from ...ops.fused_attention import (
+            selsa_attention_reference_hm,
+            selsa_fused_attention_2slab_hm,
+        )
+
+        b1 = jnp.where(memo_mask, 0.0, -1e30).astype(jnp.float32)
+        b2 = jnp.where(cur_mask, 0.0, -1e30).astype(jnp.float32)
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("LLVOD_FUSED_ATTN", "1") != "0"):
+            agg = selsa_fused_attention_2slab_hm(
+                q, k_memo, v_memo, k_cur.astype(k_memo.dtype),
+                v_cur.astype(v_memo.dtype), b1, b2)
+        else:
+            k = jnp.concatenate(
+                [k_memo, k_cur.astype(k_memo.dtype)], axis=1)
+            v = jnp.concatenate(
+                [v_memo, v_cur.astype(v_memo.dtype)], axis=1)
+            agg = selsa_attention_reference_hm(
+                q, k, v, jnp.concatenate([b1, b2]))
+        agg = agg.astype(self.dtype).reshape(-1, self.in_channels)
+        return self.fc(agg)
+
     def __call__(
         self,
         x: jnp.ndarray,

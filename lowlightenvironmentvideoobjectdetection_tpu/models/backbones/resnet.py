@@ -48,10 +48,15 @@ class FrozenBatchNorm(nn.Module):
 
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    # packed > 1: the input carries `packed` spatial positions interleaved in
+    # its channel dim (order (position, channel), channel minor — the fused
+    # stem's layout); params keep the canonical per-channel shape and the
+    # affine is tiled across positions.
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x.shape[-1] // self.packed
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable(
@@ -62,6 +67,9 @@ class FrozenBatchNorm(nn.Module):
         ).value
         scale = (gamma / jnp.sqrt(var + self.eps)).astype(self.dtype)
         bias = (beta - mean * gamma / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        if self.packed > 1:
+            scale = jnp.tile(scale, self.packed)
+            bias = jnp.tile(bias, self.packed)
         return x * scale + bias
 
 
@@ -169,6 +177,16 @@ class StemConv(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     space_to_depth: bool = False
+    # packed_out: emit the conv1 output 2x2-packed into channels — shape
+    # [n, h/4, w/4, 4F] with channel order (s, t, k) (k minor; the s halves
+    # are lane-register aligned at 4F=256). Realized as ONE 9x9/stride-4
+    # conv whose kernel is the 7x7 weight scattered per (s, t) phase:
+    # y2[i,j,(s,t,k)] = y[2i+s, 2j+t, k] where y is the plain 7x7/2 pad-3
+    # conv. Taps: y[2i+s] = sum_dy x[4i + (2s+dy-3)]; with u = a-3 (a in
+    # [0,9)) this needs dy = a - 2s, in range for a in [2s, 2s+7). The
+    # 304x512x64 unpacked tensor never exists — downstream consumes the
+    # packed layout directly (see stem_packed_maxpool).
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -178,6 +196,17 @@ class StemConv(nn.Module):
             (7, 7, c, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
         n, h, w = x.shape[:3]
+        if self.packed_out and h % 4 == 0 and w % 4 == 0:
+            k9 = jnp.zeros((9, 9, c, 2, 2, self.features), self.dtype)
+            for s in (0, 1):
+                for t in (0, 1):
+                    k9 = k9.at[2 * s:2 * s + 7, 2 * t:2 * t + 7, :, s, t, :].set(k)
+            k9 = k9.reshape(9, 9, c, 4 * self.features)
+            # pad: lowest input index 4*0 + (0-3) = -3; highest
+            # 4*(h/4-1) + 5 = h+1 -> (3, 2)
+            return lax.conv_general_dilated(
+                x, k9, window_strides=(4, 4), padding=[(3, 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if not (self.space_to_depth and h % 2 == 0 and w % 2 == 0):
             return lax.conv_general_dilated(
                 x, k, window_strides=(2, 2), padding=[(3, 3)] * 2,
@@ -206,6 +235,31 @@ class StemConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def stem_packed_maxpool(y2, features):
+    """3x3/stride-2/pad-1 maxpool over the 2x2-packed stem output.
+
+    ``y2`` is [..., h/4, w/4, 4F] with channel order (s, t, k) as produced by
+    ``StemConv(packed_out=True)``; the result equals
+    ``max_pool(unpack(y2), (3,3), strides=(2,2), padding=1)`` without ever
+    materializing the unpacked [h/2, w/2, F] tensor. The pool window at
+    output (i, j) covers unpacked rows {2i-1, 2i, 2i+1} = packed
+    {s1[i-1], s0[i], s1[i]} (and the same along columns with t), so the
+    whole pool is three shifted channel-block maxes per axis — lane-aligned
+    slices plus sublane shifts, fused by XLA into a single pass.
+    """
+    f2 = 2 * features
+    neg = jnp.asarray(float("-inf"), y2.dtype)
+    s0, s1 = y2[..., :f2], y2[..., f2:]
+    pad_row = jnp.full(s1.shape[:-3] + (1,) + s1.shape[-2:], neg, y2.dtype)
+    s1_up = jnp.concatenate([pad_row, s1[..., :-1, :, :]], axis=-3)
+    rowmax = jnp.maximum(jnp.maximum(s0, s1), s1_up)  # [..., h/4, w/4, 2F]
+    t0, t1 = rowmax[..., :features], rowmax[..., features:]
+    pad_col = jnp.full(
+        t1.shape[:-2] + (1, features), neg, y2.dtype)
+    t1_left = jnp.concatenate([pad_col, t1[..., :-1, :]], axis=-2)
+    return jnp.maximum(jnp.maximum(t0, t1), t1_left)
+
+
 class ResNet(nn.Module):
     """Multi-stage ResNet.
 
@@ -228,6 +282,12 @@ class ResNet(nn.Module):
     # space-to-depth stem (see StemConv): exact same math, ~4x better MXU
     # utilization on the 3-channel 7x7 input conv
     stem_s2d: bool = False
+    # fused packed stem: conv1 emits its output 2x2-packed into 256
+    # lane-aligned channels (one 9x9/4 conv) and the 3x3/2 maxpool runs as
+    # shifted channel-block maxes over that layout (stem_packed_maxpool);
+    # the [h/2, w/2, 64] intermediate and its layout copies never exist.
+    # Same parameter tree; same math up to conv summation order.
+    stem_fused: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -236,12 +296,18 @@ class ResNet(nn.Module):
         expansion = 4 if block_type == "bottleneck" else 1
 
         x = x.astype(self.dtype)
+        fused = self.stem_fused and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
         x = StemConv(
             self.base_channels, dtype=self.dtype,
-            space_to_depth=self.stem_s2d, name="conv1")(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+            space_to_depth=self.stem_s2d and not fused, packed_out=fused,
+            name="conv1")(x)
+        x = FrozenBatchNorm(
+            dtype=self.dtype, packed=4 if fused else 1, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if fused:
+            x = stem_packed_maxpool(x, self.base_channels)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         if self.frozen_stages >= 0:
             x = lax.stop_gradient(x)
 

@@ -178,18 +178,17 @@ class Shared2FCBBoxHead(nn.Module):
         x = x.reshape(x.shape[0], -1).astype(self.dtype)
         cur_kvs = []
         r = None
-        mask = jnp.concatenate([ref_mask, self_mask])
         for i, fc in enumerate(self.shared_fcs):
             xf = fc(x)
             cur = xf if i == 0 else fc(r)  # ref-side activation, pre-relu
             r = nn.relu(cur)
             ck, cv = self.aggregators[i].project_kv_hm(cur)
             cur_kvs.append((ck, cv))
-            # head-major [nb, M, hd]: ref cache ++ this frame's rois on axis 1
-            k = jnp.concatenate([ref_kvs[i][0].astype(ck.dtype), ck], axis=1)
-            v = jnp.concatenate([ref_kvs[i][1].astype(cv.dtype), cv], axis=1)
             q = self.aggregators[i].project_q(xf)
-            x = xf + self.aggregators[i].attend_cached(q, k, v, mask)
+            # two-slab attention: memo K/V ++ this frame's K/V with joint
+            # softmax, without materializing the concatenation
+            x = xf + self.aggregators[i].attend_cached2(
+                q, ref_kvs[i][0], ref_kvs[i][1], ck, cv, ref_mask, self_mask)
             x = nn.relu(x)
         return self._heads(x), tuple(cur_kvs)
 

@@ -104,6 +104,13 @@ class SelsaConfig:
     # math as the plain 7x7/2 stem, ~4x better MXU utilization on the
     # 3/4-channel input
     stem_s2d: bool = True
+    # fused packed stem (conv1+pool over a 2x2-packed 256-channel layout,
+    # see backbones/resnet.py stem_packed_maxpool); supersedes stem_s2d when
+    # the padded image is divisible by 4. Measured 5.7% SLOWER end-to-end
+    # than the s2d stem at DC5 streaming shapes (287 vs 304 fps same-session
+    # A/B): the 9x9/stride-4 formulation does 1.65x the MACs of the 7x7/2
+    # conv and the saved layout copies don't pay for them — kept opt-in.
+    stem_fused: bool = False
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -146,6 +153,7 @@ class SelsaDetector(nn.Module):
                 frozen_stages=c.frozen_stages,
                 dtype=c.compute_dtype,
                 stem_s2d=c.stem_s2d,
+                stem_fused=c.stem_fused,
                 name="backbone",
             )
         self.neck = ChannelMapper(

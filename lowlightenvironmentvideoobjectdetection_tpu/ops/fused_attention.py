@@ -95,6 +95,101 @@ def selsa_fused_attention_hm(
     return out.transpose(1, 0, 2)[:n]
 
 
+def _attn2_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, b1_ref, b2_ref,
+                  o_ref):
+    # q: [1, N, hd]; k1/v1: [1, M1, hd] (memo slab); k2/v2: [1, M2, hd]
+    # (current-frame slab); b1: [1, M1]; b2: [1, M2]; o: [1, N, hd].
+    # Joint softmax over the concatenation of both slabs WITHOUT the
+    # concatenated K/V ever existing (in HBM or VMEM).
+    q = q_ref[0]
+    k1, v1 = k1_ref[0], v1_ref[0]
+    k2, v2 = k2_ref[0], v2_ref[0]
+    hd = q.shape[-1]
+    scale = 1.0 / (hd ** 0.5)
+    s1 = jax.lax.dot_general(
+        q, k1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + b1_ref[:]
+    s2 = jax.lax.dot_general(
+        q, k2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + b2_ref[:]
+    m = jnp.maximum(s1.max(axis=-1), s2.max(axis=-1))  # [N]
+    e1 = jnp.exp(s1 - m[:, None])
+    e2 = jnp.exp(s2 - m[:, None])
+    den = e1.sum(axis=-1) + e2.sum(axis=-1)
+    o = (jax.lax.dot_general(
+            e1.astype(v1.dtype), v1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(
+            e2.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o_ref[0] = (o / den[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def selsa_fused_attention_2slab_hm(
+    q: jnp.ndarray,
+    k_memo: jnp.ndarray,
+    v_memo: jnp.ndarray,
+    k_cur: jnp.ndarray,
+    v_cur: jnp.ndarray,
+    bias_memo: jnp.ndarray,
+    bias_cur: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Two-slab head-major attention: softmax over
+    ``concat([k_memo, k_cur], axis=1)`` computed WITHOUT materializing the
+    concatenation. The streaming head attends over the ~4200-roi reference
+    memo plus this frame's 300 rois; the XLA concat of memo++current K/V
+    costs 4 x [nb, 4608, hd] HBM round trips per frame (~115 us measured) —
+    here each slab streams into the kernel as its own operand.
+
+    q: [N, nb, hd]; k/v_memo: [nb, M1, hd]; k/v_cur: [nb, M2, hd];
+    bias_*: [M1] / [M2] additive f32. Returns [N, nb, hd] f32, identical
+    math to ``selsa_fused_attention_hm(q, concat(k), concat(v), concat(b))``.
+    """
+    n, nb, hd = q.shape
+    m1, m2 = k_memo.shape[1], k_cur.shape[1]
+    npad = _round_up(n, 8)
+    m1pad = _round_up(m1, 128)
+    m2pad = _round_up(m2, 128)
+
+    qt = jnp.pad(q, ((0, npad - n), (0, 0), (0, 0))).transpose(1, 0, 2)
+    k1 = jnp.pad(k_memo, ((0, 0), (0, m1pad - m1), (0, 0)))
+    v1 = jnp.pad(v_memo, ((0, 0), (0, m1pad - m1), (0, 0)))
+    k2 = jnp.pad(k_cur, ((0, 0), (0, m2pad - m2), (0, 0)))
+    v2 = jnp.pad(v_cur, ((0, 0), (0, m2pad - m2), (0, 0)))
+    b1 = jnp.pad(bias_memo.astype(jnp.float32), (0, m1pad - m1),
+                 constant_values=-1e30).reshape(1, m1pad)
+    b2 = jnp.pad(bias_cur.astype(jnp.float32), (0, m2pad - m2),
+                 constant_values=-1e30).reshape(1, m2pad)
+
+    out = pl.pallas_call(
+        _attn2_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, npad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m1pad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m1pad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2pad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2pad, hd), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m1pad), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2pad), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npad, hd), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, npad, hd), jnp.float32),
+        interpret=interpret,
+    )(qt, k1, v1, k2, v2, b1, b2)
+    return out.transpose(1, 0, 2)[:n]
+
+
 def selsa_fused_attention(q, k, v, bias, interpret: bool = False):
     """Roi-major compatibility wrapper: q: [N, nb, hd]; k, v: [M, nb, hd]."""
     return selsa_fused_attention_hm(

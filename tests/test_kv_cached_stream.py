@@ -51,6 +51,32 @@ def test_kv_stream_matches_activation_stream():
         assert cv.shape == (16, x.shape[0], 64)
 
 
+def test_fused_attention_2slab_interpret_matches_concat():
+    """Two-slab kernel (memo slab ++ current-frame slab, joint softmax,
+    no concatenated K/V) == single-slab reference over the concatenation."""
+    from lowlightenvironmentvideoobjectdetection_tpu.ops.fused_attention import (
+        selsa_attention_reference_hm,
+        selsa_fused_attention_2slab_hm,
+    )
+
+    rng = np.random.RandomState(3)
+    n, m1, m2, nb, hd = 12, 40, 12, 4, 32
+    q = jnp.asarray(rng.randn(n, nb, hd).astype(np.float32) * 0.1)
+    k1 = jnp.asarray(rng.randn(nb, m1, hd).astype(np.float32) * 0.1)
+    v1 = jnp.asarray(rng.randn(nb, m1, hd).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(nb, m2, hd).astype(np.float32) * 0.1)
+    v2 = jnp.asarray(rng.randn(nb, m2, hd).astype(np.float32) * 0.1)
+    b1 = jnp.where(jnp.asarray(rng.rand(m1) > 0.2), 0.0, -1e30)
+    b2 = jnp.where(jnp.asarray(rng.rand(m2) > 0.2), 0.0, -1e30)
+    ref = selsa_attention_reference_hm(
+        q, jnp.concatenate([k1, k2], axis=1),
+        jnp.concatenate([v1, v2], axis=1), jnp.concatenate([b1, b2]))
+    out = selsa_fused_attention_2slab_hm(q, k1, v1, k2, v2, b1, b2,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_attention_interpret_matches_reference():
     rng = np.random.RandomState(2)
     n, m, nb, hd = 12, 40, 4, 32

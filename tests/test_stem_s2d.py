@@ -35,6 +35,51 @@ def test_s2d_falls_back_on_odd_sizes():
     assert packed.apply(params, x).shape == (1, 16, 24, 8)
 
 
+@pytest.mark.parametrize("c", [3, 4])
+def test_fused_packed_stem_matches_plain(c):
+    """StemConv(packed_out=True) + stem_packed_maxpool == plain conv + pool
+    (same [7,7,c,F] parameter; the packed channel order is (s, t, k))."""
+    import flax.linen as nn
+
+    from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+        stem_packed_maxpool,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 48, c), jnp.float32)
+    plain = StemConv(16, dtype=jnp.float32)
+    packed = StemConv(16, dtype=jnp.float32, packed_out=True)
+    params = plain.init(jax.random.PRNGKey(1), x)
+    y0 = plain.apply(params, x)
+    y2 = packed.apply(params, x)
+    assert y2.shape == (2, 8, 12, 64)
+    y2u = (y2.reshape(2, 8, 12, 2, 2, 16)
+           .transpose(0, 1, 3, 2, 4, 5).reshape(2, 16, 24, 16))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y2u),
+                               rtol=1e-5, atol=1e-5)
+    z0 = nn.max_pool(nn.relu(y0), (3, 3), strides=(2, 2),
+                     padding=[(1, 1)] * 2)
+    z1 = stem_packed_maxpool(nn.relu(y2), 16)
+    assert z1.shape == z0.shape == (2, 8, 12, 16)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.model
+def test_resnet_fused_stem_tree_unchanged_and_equal():
+    """ResNet(stem_fused=True): identical parameter tree, same features."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3), jnp.float32)
+    r0 = ResNet(depth=50, out_indices=(3,), dtype=jnp.float32)
+    r1 = ResNet(depth=50, out_indices=(3,), dtype=jnp.float32,
+                stem_fused=True)
+    p = r0.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        r1.init(jax.random.PRNGKey(1), x))
+    y0 = r0.apply(p, x)[0]
+    y1 = r1.apply(p, x)[0]
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_resnet_tree_unchanged_and_equal():
     """ResNet(stem_s2d=True) has the identical parameter tree and produces
     the same features as the plain stem (bf16 tolerance)."""
