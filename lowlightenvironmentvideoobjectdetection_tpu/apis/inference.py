@@ -88,6 +88,17 @@ class VIDModel:
             jnp.asarray(do),
         )
 
+    def _maybe_pack(self, imgs):
+        """Host-side space-to-depth pack ([..., h, w, c] -> [..., h/2, w/2,
+        4c]) when the model uses the packed-input contract (input_packed):
+        the pack rides the host pipeline next to normalize/pad instead of
+        costing ~370 us/frame of on-device layout work."""
+        if getattr(self.cfg, "input_packed", False):
+            from ..models.backbones.resnet import pack_frame
+
+            return pack_frame(np.asarray(imgs))
+        return imgs
+
     def inference_vid(self, frame: np.ndarray, frame_id: int,
                       ref_frames: Optional[np.ndarray] = None) -> Dict:
         """Streaming API (apis/inference.py:136-209): feed frames in order;
@@ -104,12 +115,14 @@ class VIDModel:
                 refs = ref_frames
             ref_imgs, _, _ = prepare_frames(refs, cfg.pad_h, cfg.pad_w)
             self.state = self._S.init_video_state(
-                self.model, self.params, ref_imgs, img_shape, self.anchors
+                self.model, self.params, self._maybe_pack(ref_imgs),
+                img_shape, self.anchors
             )
         do = (self.ref_method != "fix"
               or frame_id % self.frame_stride == 0)
         self.state, dets = self._step(
-            self.state, imgs[0], img_shape, jnp.asarray(sf), do
+            self.state, self._maybe_pack(imgs[0]), img_shape,
+            jnp.asarray(sf), do
         )
         return dict(bbox_results=result_to_per_class(dets, cfg.num_classes))
 
@@ -157,12 +170,13 @@ class VIDModel:
             else:
                 refs = np.stack([self._pad_prepared(r) for r in ref_imgs])
             self.state = self._S.init_video_state(
-                self.model, self.params, jnp.asarray(refs), shape, self.anchors
+                self.model, self.params, jnp.asarray(self._maybe_pack(refs)),
+                shape, self.anchors
             )
         do = (self.ref_method != "fix"
               or frame_id % self.frame_stride == 0)
-        self.state, dets = self._step(self.state, jnp.asarray(canvas), shape,
-                                      sf, do)
+        self.state, dets = self._step(
+            self.state, jnp.asarray(self._maybe_pack(canvas)), shape, sf, do)
         return dict(bbox_results=result_to_per_class(dets, cfg.num_classes))
 
 

@@ -177,6 +177,14 @@ class StemConv(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     space_to_depth: bool = False
+    # packed_in: the input is ALREADY space-to-depth packed [n, h/2, w/2, 4c]
+    # with channel order (a, b, cc) = (2a+b)*c+cc (see pack_frame) — the
+    # MLPerf-TPU-style "conv0 space-to-depth" input contract. The one-hot
+    # pack conv is skipped entirely; on v5e the on-device pack of a
+    # 608x1024x3 frame costs ~370 us/frame of pure layout work (a shallow
+    # 3-channel conv + an input relayout copy), which the host pipeline does
+    # for free as part of normalize/pad. The parameter tree is unchanged.
+    packed_in: bool = False
     # packed_out: emit the conv1 output 2x2-packed into channels — shape
     # [n, h/4, w/4, 4F] with channel order (s, t, k) (k minor; the s halves
     # are lane-register aligned at 4F=256). Realized as ONE 9x9/stride-4
@@ -190,12 +198,21 @@ class StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x.shape[-1] // 4 if self.packed_in else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (7, 7, c, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
         n, h, w = x.shape[:3]
+        if self.packed_in:
+            wp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            w2 = wp.reshape(4, 2, 4, 2, c, self.features)
+            w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(
+                4, 4, 4 * c, self.features)
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), w2, window_strides=(1, 1),
+                padding=[(2, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.packed_out and h % 4 == 0 and w % 4 == 0:
             k9 = jnp.zeros((9, 9, c, 2, 2, self.features), self.dtype)
             for s in (0, 1):
@@ -233,6 +250,26 @@ class StemConv(nn.Module):
         return lax.conv_general_dilated(
             xs, w2, window_strides=(1, 1), padding=[(2, 1)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def pack_frame(x):
+    """Space-to-depth pack [..., h, w, c] -> [..., h/2, w/2, 4c].
+
+    Channel order (a, b, cc) -> (2a+b)*c+cc, matching the one-hot pack conv
+    in StemConv and the ``packed_in`` input contract. Host pipelines call
+    this (on numpy or jnp arrays) after normalize/pad, so the device graph
+    never pays the ~370 us/frame on-device repack; equivalent to the MLPerf
+    ResNet TPU submissions' conv0 space-to-depth input transform.
+    """
+    h, w, c = x.shape[-3:]
+    y = x.reshape(x.shape[:-3] + (h // 2, 2, w // 2, 2, c))
+    if isinstance(y, np.ndarray):
+        y = np.moveaxis(y, -4, -3)
+    else:
+        nd = y.ndim
+        perm = list(range(nd - 5)) + [nd - 5, nd - 3, nd - 4, nd - 2, nd - 1]
+        y = y.transpose(perm)
+    return y.reshape(x.shape[:-3] + (h // 2, w // 2, 4 * c))
 
 
 def stem_packed_maxpool(y2, features):
@@ -288,6 +325,10 @@ class ResNet(nn.Module):
     # the [h/2, w/2, 64] intermediate and its layout copies never exist.
     # Same parameter tree; same math up to conv summation order.
     stem_fused: bool = False
+    # the input arrives ALREADY space-to-depth packed [n, h/2, w/2,
+    # 4*in_channels] (pack_frame order) — the packed-input streaming
+    # contract; the on-device repack is skipped entirely
+    input_packed: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -296,10 +337,12 @@ class ResNet(nn.Module):
         expansion = 4 if block_type == "bottleneck" else 1
 
         x = x.astype(self.dtype)
-        fused = self.stem_fused and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        fused = (self.stem_fused and not self.input_packed
+                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         x = StemConv(
             self.base_channels, dtype=self.dtype,
             space_to_depth=self.stem_s2d and not fused, packed_out=fused,
+            packed_in=self.input_packed,
             name="conv1")(x)
         x = FrozenBatchNorm(
             dtype=self.dtype, packed=4 if fused else 1, name="bn1")(x)

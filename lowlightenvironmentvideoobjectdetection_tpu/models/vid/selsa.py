@@ -111,6 +111,12 @@ class SelsaConfig:
     # A/B): the 9x9/stride-4 formulation does 1.65x the MACs of the 7x7/2
     # conv and the saved layout copies don't pay for them — kept opt-in.
     stem_fused: bool = False
+    # packed-input streaming contract: the model consumes frames already
+    # space-to-depth packed [H/2, W/2, 4*in_channels] (pack_frame order,
+    # done by the host pipeline alongside normalize/pad, like the MLPerf
+    # ResNet TPU submissions' conv0 transform); the ~370 us/frame on-device
+    # repack (shallow 3-ch pack conv + entry relayout copy) disappears
+    input_packed: bool = False
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -154,6 +160,7 @@ class SelsaDetector(nn.Module):
                 dtype=c.compute_dtype,
                 stem_s2d=c.stem_s2d,
                 stem_fused=c.stem_fused,
+                input_packed=c.input_packed,
                 name="backbone",
             )
         self.neck = ChannelMapper(
@@ -647,7 +654,10 @@ def init_params(model: SelsaDetector, rng: jax.Array, small: bool = False):
     h, w = (64, 64) if small else (model.cfg.pad_h, model.cfg.pad_w)
     # flax shapes conv kernels from the init input: RAW models (RGGB stem)
     # must init with their 4-channel input
-    imgs = jnp.zeros((1, h, w, model.cfg.backbone_in_channels), jnp.float32)
+    c = model.cfg.backbone_in_channels
+    if model.cfg.input_packed:
+        h, w, c = h // 2, w // 2, 4 * c
+    imgs = jnp.zeros((1, h, w, c), jnp.float32)
     return jax.jit(model.init)(rng, imgs)
 
 

@@ -93,3 +93,50 @@ def test_resnet_tree_unchanged_and_equal():
     y1 = r1.apply(p, x)[0]
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-4, atol=1e-4)
+
+@pytest.mark.parametrize("c", [3, 4])
+def test_packed_input_contract_matches_plain(c):
+    """ResNet(input_packed=True) over pack_frame(x) == plain ResNet over x,
+    with the identical parameter tree (the MLPerf-style conv0 s2d input
+    contract; reference consumes [H, W, C] device-side,
+    mmdetection/mmdet/models/backbones/resnet.py:630)."""
+    from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+        ResNet, pack_frame)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, c), jnp.float32)
+    r0 = ResNet(depth=50, in_channels=c, out_indices=(3,), dtype=jnp.float32)
+    r1 = ResNet(depth=50, in_channels=c, out_indices=(3,), dtype=jnp.float32,
+                input_packed=True)
+    p = r0.init(jax.random.PRNGKey(1), x)
+    xp = pack_frame(x)
+    assert xp.shape == (1, 32, 32, 4 * c)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        r1.init(jax.random.PRNGKey(1), xp))
+    y0 = r0.apply(p, x)[0]
+    y1 = r1.apply(p, xp)[0]
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+    # numpy pack (the host-pipeline path) == jnp pack
+    np.testing.assert_allclose(pack_frame(np.asarray(x)), np.asarray(xp))
+
+
+@pytest.mark.model
+def test_vidmodel_packed_streaming_matches_plain():
+    """VIDModel(input_packed=True) streaming == the default contract: same
+    boxes/scores on a 3-frame synthetic video (the pack moves to the host
+    pipeline; device math is bit-identical)."""
+    from lowlightenvironmentvideoobjectdetection_tpu.apis.inference import (
+        VIDModel)
+
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(3, 64, 64, 3) * 255).astype(np.float32)
+    kw = dict(pad_h=64, pad_w=64, test_nms_pre=128, test_nms_post=16,
+              num_ref_frames=2, compute_dtype=jnp.float32,
+              head_dtype=jnp.float32)
+    m0 = VIDModel("SELSA", rng_seed=0, **kw)
+    m1 = VIDModel("SELSA", rng_seed=0, input_packed=True, **kw)
+    for t in range(3):
+        r0 = m0.inference_vid(frames[t], t)["bbox_results"]
+        r1 = m1.inference_vid(frames[t], t)["bbox_results"]
+        for a, b in zip(r0, r1):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
