@@ -77,14 +77,19 @@ def main():
         nxt = frame + 1e-12 * dets.scores.sum()
         return st, dets, nxt
 
-    step_dep = jax.jit(step_dep)
-    st, dets, fr = step_dep(params, anchors, state, frame, img_shape,
+    # donate the carried VideoState: without aliasing, XLA copies the ~35 MB
+    # pass-through K/V memo into fresh output buffers EVERY frame (~115
+    # us/frame of pure copies in the xprof trace)
+    step_dep = jax.jit(step_dep, donate_argnums=(2,))
+    # fresh (non-donated) state buffers per chain so `state` itself survives
+    clone = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    st, dets, fr = step_dep(params, anchors, clone(state), frame, img_shape,
                             scale_factor)
     float(jax.device_get(dets.scores.sum()))  # warm + compile
 
     def run(n):
+        st, fr = clone(state), frame
         t0 = time.perf_counter()
-        st, fr = state, frame
         for _ in range(n):
             st, dets, fr = step_dep(params, anchors, st, fr, img_shape,
                                     scale_factor)

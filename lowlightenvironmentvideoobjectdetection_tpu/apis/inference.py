@@ -82,7 +82,10 @@ class VIDModel:
                 update_memo=update, do_update=do_update,
             )
 
-        self._step_fn = jax.jit(step)
+        # the carried VideoState is donated: it is replaced by the returned
+        # state every step, and without aliasing XLA copies the ~35 MB
+        # pass-through K/V memo into fresh buffers every frame
+        self._step_fn = jax.jit(step, donate_argnums=(2,))
         self._step = lambda state, frame, img_shape, sf, do=True: self._step_fn(
             self.params, self.anchors, state, frame, img_shape, sf,
             jnp.asarray(do),

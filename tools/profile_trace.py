@@ -22,6 +22,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+    pack_frame)
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig, SelsaDetector, VideoState,
     cast_params_for_inference, empty_video_state, inference_step,
@@ -35,29 +37,34 @@ def main():
     ap.add_argument("--depth", type=int, default=50)
     args = ap.parse_args()
 
-    cfg = SelsaConfig(depth=args.depth)
+    cfg = SelsaConfig(depth=args.depth, input_packed=True)
     model = SelsaDetector(cfg=cfg)
     params = cast_params_for_inference(
         init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
     state = empty_video_state(cfg, rng=jax.random.PRNGKey(1))
-    frame = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
+    frame = pack_frame(
+        jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3)))
     img_shape = jnp.asarray([600.0, 1000.0])
     sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def step(params, anchors, state, frame, img_shape, sf):
         st, dets = inference_step(model, params, state, frame, img_shape, sf,
                                   anchors)
         # serial dependency so frames can't overlap in the trace
         return st, dets, frame + 1e-12 * dets.scores.sum()
 
-    # compile + warm outside the trace window
-    st, dets, fr = step(params, anchors, state, frame, img_shape, sf)
+    # compile + warm outside the trace window (donated carry: hand the
+    # step fresh clones so `state` survives)
+    clone = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    st, dets, fr = step(params, anchors, clone(state), frame, img_shape, sf)
     jax.block_until_ready(dets.scores)
 
     with jax.profiler.trace(args.out):
-        st, fr = state, frame
+        st, fr = clone(state), frame
         for _ in range(args.frames):
             st, dets, fr = step(params, anchors, st, fr, img_shape, sf)
         jax.block_until_ready(dets.scores)
