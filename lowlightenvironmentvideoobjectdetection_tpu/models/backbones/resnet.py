@@ -177,14 +177,18 @@ class StemConv(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     space_to_depth: bool = False
-    # packed_in: the input is ALREADY space-to-depth packed [n, h/2, w/2, 4c]
-    # with channel order (a, b, cc) = (2a+b)*c+cc (see pack_frame) — the
-    # MLPerf-TPU-style "conv0 space-to-depth" input contract. The one-hot
-    # pack conv is skipped entirely; on v5e the on-device pack of a
-    # 608x1024x3 frame costs ~370 us/frame of pure layout work (a shallow
-    # 3-channel conv + an input relayout copy), which the host pipeline does
-    # for free as part of normalize/pad. The parameter tree is unchanged.
-    packed_in: bool = False
+    # packed_in: pack level of the input — the MLPerf-TPU-style "conv0
+    # space-to-depth" input contract; the host pipeline packs for free as
+    # part of normalize/pad and the parameter tree is unchanged.
+    #   1 (or True): one pack_frame — [n, h/2, w/2, 4c]; the 7x7/2 conv runs
+    #     as a 4-tap/stride-1 conv over 12 channels. Skips the ~370 us/frame
+    #     on-device repack (shallow 3-ch conv + entry relayout copy).
+    #   2: pack_frame twice — [n, h/4, w/4, 16c]; the conv becomes a DENSE
+    #     3x3 48->256 conv emitting the conv1 output 2x2-packed (s, t, k)
+    #     for stem_packed_maxpool. 2.9x the MACs of the 7x7 but on the
+    #     MXU-efficient deep-conv path: measured 543 -> 175 us for the whole
+    #     conv+bn+relu+pool stem at 608x1024 on v5e.
+    packed_in: int = 0
     # packed_out: emit the conv1 output 2x2-packed into channels — shape
     # [n, h/4, w/4, 4F] with channel order (s, t, k) (k minor; the s halves
     # are lane-register aligned at 4F=256). Realized as ONE 9x9/stride-4
@@ -198,13 +202,48 @@ class StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1] // 4 if self.packed_in else x.shape[-1]
+        lvl = int(self.packed_in)
+        c = x.shape[-1] // (4 ** lvl)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (7, 7, c, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
         n, h, w = x.shape[:3]
-        if self.packed_in:
+        if lvl == 2:
+            # dense s4d kernel [3, 3, 16c, 4F]: K3[u, v, (rho, sig, cc),
+            # (s, t, kk)] = W7[4u+rho+3-2s, 4v+sig+3-2t, cc, kk] (zero when
+            # the tap falls outside the 7x7 support). Built by gathering
+            # from the zero-padded [9, 9, c, F] weight with precomputed
+            # numpy index constants — no traced scatter loop.
+            dy = np.zeros((3, 3, 16 * c, 4), np.int64)
+            dx = np.zeros((3, 3, 16 * c, 4), np.int64)
+            cc = np.zeros((3, 3, 16 * c, 4), np.int64)
+            for u in range(3):
+                for v in range(3):
+                    for rho in range(4):
+                        for sig in range(4):
+                            for ch in range(c):
+                                cin = (((rho // 2) * 2 + (sig // 2)) * 4
+                                       + (rho % 2) * 2 + (sig % 2)) * c + ch
+                                for s in range(2):
+                                    for t in range(2):
+                                        dyy = 4 * (u - 1) + rho + 3 - 2 * s
+                                        dxx = 4 * (v - 1) + sig + 3 - 2 * t
+                                        ok = 0 <= dyy < 7 and 0 <= dxx < 7
+                                        st = 2 * s + t
+                                        # out-of-support taps hit the zero
+                                        # pad plane (index 7+)
+                                        dy[u, v, cin, st] = dyy if ok else 7
+                                        dx[u, v, cin, st] = dxx if ok else 7
+                                        cc[u, v, cin, st] = ch
+            w9 = jnp.pad(k, ((0, 2), (0, 2), (0, 0), (0, 0)))
+            k3 = w9[dy, dx, cc]  # [3, 3, 16c, 4, F]
+            k3 = k3.reshape(3, 3, 16 * c, 4 * self.features)
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), k3, window_strides=(1, 1),
+                padding=[(1, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if lvl == 1:
             wp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
             w2 = wp.reshape(4, 2, 4, 2, c, self.features)
             w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(
@@ -325,10 +364,12 @@ class ResNet(nn.Module):
     # the [h/2, w/2, 64] intermediate and its layout copies never exist.
     # Same parameter tree; same math up to conv summation order.
     stem_fused: bool = False
-    # the input arrives ALREADY space-to-depth packed [n, h/2, w/2,
-    # 4*in_channels] (pack_frame order) — the packed-input streaming
-    # contract; the on-device repack is skipped entirely
-    input_packed: bool = False
+    # pack level of the input (see StemConv.packed_in): 1/True = [n, h/2,
+    # w/2, 4*in_channels] (one pack_frame), 2 = [n, h/4, w/4,
+    # 16*in_channels] (pack_frame twice; conv1 runs as a dense 3x3 48->256
+    # conv emitting the 2x2-packed layout and the maxpool as shifted
+    # channel-block maxes — the fastest stem at streaming shapes)
+    input_packed: int = 0
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -337,17 +378,19 @@ class ResNet(nn.Module):
         expansion = 4 if block_type == "bottleneck" else 1
 
         x = x.astype(self.dtype)
-        fused = (self.stem_fused and not self.input_packed
+        lvl = int(self.input_packed)
+        fused = (self.stem_fused and lvl == 0
                  and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+        packed_conv1 = fused or lvl == 2  # conv1 emits (s, t, k)-packed
         x = StemConv(
             self.base_channels, dtype=self.dtype,
             space_to_depth=self.stem_s2d and not fused, packed_out=fused,
-            packed_in=self.input_packed,
+            packed_in=lvl,
             name="conv1")(x)
         x = FrozenBatchNorm(
-            dtype=self.dtype, packed=4 if fused else 1, name="bn1")(x)
+            dtype=self.dtype, packed=4 if packed_conv1 else 1, name="bn1")(x)
         x = nn.relu(x)
-        if fused:
+        if packed_conv1:
             x = stem_packed_maxpool(x, self.base_channels)
         else:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

@@ -112,11 +112,13 @@ class SelsaConfig:
     # conv and the saved layout copies don't pay for them — kept opt-in.
     stem_fused: bool = False
     # packed-input streaming contract: the model consumes frames already
-    # space-to-depth packed [H/2, W/2, 4*in_channels] (pack_frame order,
-    # done by the host pipeline alongside normalize/pad, like the MLPerf
-    # ResNet TPU submissions' conv0 transform); the ~370 us/frame on-device
-    # repack (shallow 3-ch pack conv + entry relayout copy) disappears
-    input_packed: bool = False
+    # space-to-depth packed by the host pipeline alongside normalize/pad
+    # (like the MLPerf ResNet TPU submissions' conv0 transform). Level 1 =
+    # pack_frame once, [H/2, W/2, 4C] (the ~370 us/frame on-device repack
+    # disappears); level 2 = pack_frame twice, [H/4, W/4, 16C] (conv1 runs
+    # as a dense 3x3 48->256 conv + packed maxpool — whole stem 543 -> 175
+    # us measured). True == 1.
+    input_packed: int = 0
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -655,8 +657,8 @@ def init_params(model: SelsaDetector, rng: jax.Array, small: bool = False):
     # flax shapes conv kernels from the init input: RAW models (RGGB stem)
     # must init with their 4-channel input
     c = model.cfg.backbone_in_channels
-    if model.cfg.input_packed:
-        h, w, c = h // 2, w // 2, 4 * c
+    lvl = int(model.cfg.input_packed)
+    h, w, c = h >> lvl, w >> lvl, c * 4 ** lvl
     imgs = jnp.zeros((1, h, w, c), jnp.float32)
     return jax.jit(model.init)(rng, imgs)
 

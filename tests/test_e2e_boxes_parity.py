@@ -433,3 +433,52 @@ class TestE2EBoxesParity:
             # same boxes (128-px coordinate frame) and scores
             np.testing.assert_allclose(jb, tb.numpy(), rtol=1e-2, atol=0.15)
             np.testing.assert_allclose(js, ts.numpy(), rtol=5e-3, atol=5e-3)
+
+    def test_full_pipeline_same_boxes_packed_s4d(self, e2e_pair):
+        """The s4d packed-input serving contract (input_packed=2) hits the
+        SAME torch-golden keep-set/labels/boxes as the plain contract: the
+        conv1 reformulation is a linear repack of the identical [7,7,3,64]
+        weight (resnet.py StemConv.packed_in), so with real imported weights
+        the final detections agree within the same tolerances."""
+        import dataclasses
+
+        tmodel, jmodel, variables, cfg, anchors = e2e_pair
+        from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+            pack_frame,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            SelsaDetector, inference_step, init_video_state,
+        )
+
+        cfgp = dataclasses.replace(cfg, input_packed=2)
+        jmodelp = SelsaDetector(cfg=cfgp)
+
+        rng = np.random.RandomState(11)
+        ref_imgs = rng.uniform(-2, 2, (2, 128, 128, 3)).astype(np.float32)
+        frames = rng.uniform(-2, 2, (3, 128, 128, 3)).astype(np.float32)
+
+        golden = TorchSelsaInference(tmodel, mmdet_grid_anchors(
+            8, 8, 16, [4, 8, 16, 32], [0.5, 1.0, 2.0]), (128.0, 128.0),
+            cfg.test_nms_pre, cfg.test_nms_post)
+        with torch.no_grad():
+            golden.init_refs(list(ref_imgs))
+
+        pk = lambda a: pack_frame(pack_frame(jnp.asarray(a)))
+        state = init_video_state(jmodelp, variables, pk(ref_imgs),
+                                 (128.0, 128.0), anchors)
+        for t in range(3):
+            with torch.no_grad():
+                tb, ts, tl = golden.detect(frames[t])
+            state, dets = inference_step(
+                jmodelp, variables, state, pk(frames[t]),
+                (128.0, 128.0), np.ones(4, np.float32), anchors)
+            nvalid = int(np.asarray(dets.valid).sum())
+            assert nvalid == tb.shape[0], (t, nvalid, tb.shape[0])
+            np.testing.assert_array_equal(
+                np.asarray(dets.labels)[:nvalid], tl.numpy())
+            np.testing.assert_allclose(
+                np.asarray(dets.boxes)[:nvalid], tb.numpy(),
+                rtol=1e-2, atol=0.15)
+            np.testing.assert_allclose(
+                np.asarray(dets.scores)[:nvalid], ts.numpy(),
+                rtol=5e-3, atol=5e-3)

@@ -94,22 +94,26 @@ def test_resnet_tree_unchanged_and_equal():
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-4, atol=1e-4)
 
+@pytest.mark.parametrize("lvl", [1, 2])
 @pytest.mark.parametrize("c", [3, 4])
-def test_packed_input_contract_matches_plain(c):
-    """ResNet(input_packed=True) over pack_frame(x) == plain ResNet over x,
-    with the identical parameter tree (the MLPerf-style conv0 s2d input
+def test_packed_input_contract_matches_plain(c, lvl):
+    """ResNet(input_packed=lvl) over pack_frame^lvl(x) == plain ResNet over
+    x, with the identical parameter tree (the MLPerf-style conv0 s2d input
     contract; reference consumes [H, W, C] device-side,
-    mmdetection/mmdet/models/backbones/resnet.py:630)."""
+    mmdetection/mmdet/models/backbones/resnet.py:630). Level 2 runs conv1
+    as a dense 3x3 16c->256 conv + packed maxpool."""
     from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
         ResNet, pack_frame)
 
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, c), jnp.float32)
     r0 = ResNet(depth=50, in_channels=c, out_indices=(3,), dtype=jnp.float32)
     r1 = ResNet(depth=50, in_channels=c, out_indices=(3,), dtype=jnp.float32,
-                input_packed=True)
+                input_packed=lvl)
     p = r0.init(jax.random.PRNGKey(1), x)
-    xp = pack_frame(x)
-    assert xp.shape == (1, 32, 32, 4 * c)
+    xp = x
+    for _ in range(lvl):
+        xp = pack_frame(xp)
+    assert xp.shape == (1, 64 >> lvl, 64 >> lvl, 4 ** lvl * c)
     assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
         r1.init(jax.random.PRNGKey(1), xp))
     y0 = r0.apply(p, x)[0]
@@ -117,7 +121,8 @@ def test_packed_input_contract_matches_plain(c):
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-4, atol=1e-4)
     # numpy pack (the host-pipeline path) == jnp pack
-    np.testing.assert_allclose(pack_frame(np.asarray(x)), np.asarray(xp))
+    if lvl == 1:
+        np.testing.assert_allclose(pack_frame(np.asarray(x)), np.asarray(xp))
 
 
 @pytest.mark.model
@@ -135,8 +140,11 @@ def test_vidmodel_packed_streaming_matches_plain():
               head_dtype=jnp.float32)
     m0 = VIDModel("SELSA", rng_seed=0, **kw)
     m1 = VIDModel("SELSA", rng_seed=0, input_packed=True, **kw)
+    m2 = VIDModel("SELSA", rng_seed=0, input_packed=2, **kw)
     for t in range(3):
         r0 = m0.inference_vid(frames[t], t)["bbox_results"]
         r1 = m1.inference_vid(frames[t], t)["bbox_results"]
-        for a, b in zip(r0, r1):
+        r2 = m2.inference_vid(frames[t], t)["bbox_results"]
+        for a, b, c in zip(r0, r1, r2):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(a, c, rtol=1e-4, atol=2e-4)

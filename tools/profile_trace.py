@@ -37,14 +37,14 @@ def main():
     ap.add_argument("--depth", type=int, default=50)
     args = ap.parse_args()
 
-    cfg = SelsaConfig(depth=args.depth, input_packed=True)
+    cfg = SelsaConfig(depth=args.depth, input_packed=2)
     model = SelsaDetector(cfg=cfg)
     params = cast_params_for_inference(
         init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
     state = empty_video_state(cfg, rng=jax.random.PRNGKey(1))
-    frame = pack_frame(
-        jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3)))
+    frame = pack_frame(pack_frame(
+        jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))))
     img_shape = jnp.asarray([600.0, 1000.0])
     sf = jnp.asarray([1.0, 1.0, 1.0, 1.0])
 
