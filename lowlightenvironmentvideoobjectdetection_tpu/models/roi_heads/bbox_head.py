@@ -175,11 +175,26 @@ class Shared2FCBBoxHead(nn.Module):
         attention on TPU. Returns ((cls, reg), cur_kvs) where ``cur_kvs`` is
         this frame's per-stage (k, v) for the fix-stride memo roll."""
         assert self.with_selsa
-        x = x.reshape(x.shape[0], -1).astype(self.dtype)
+        x4 = x.astype(self.dtype)
+        x = x4.reshape(x4.shape[0], -1)
         cur_kvs = []
         r = None
         for i, fc in enumerate(self.shared_fcs):
-            xf = fc(x)
+            if i == 0 and x4.ndim == 4 and not self.is_initializing():
+                # contract the [N, 7, 7, C] roi features directly against the
+                # kernel viewed [7, 7, C, out] — the [N, 25088] flatten of
+                # the chunked RoIAlign output is a real relayout copy on TPU
+                # (~48 us/frame); dot_general fuses it into the matmul
+                # (measured 142 -> 110 us for the first FC). Same [25088,
+                # out] parameter, same row-major contraction order.
+                p = self.shared_fcs[0].variables["params"]
+                k0 = p["kernel"].astype(self.dtype).reshape(
+                    x4.shape[1], x4.shape[2], x4.shape[3], -1)
+                xf = jax.lax.dot_general(
+                    x4, k0, (((1, 2, 3), (0, 1, 2)), ((), ())))
+                xf = xf + p["bias"].astype(self.dtype)
+            else:
+                xf = fc(x)
             cur = xf if i == 0 else fc(r)  # ref-side activation, pre-relu
             r = nn.relu(cur)
             ck, cv = self.aggregators[i].project_kv_hm(cur)

@@ -18,6 +18,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+    pack_frame,
+)
 from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
     SelsaConfig,
     SelsaDetector,
@@ -55,8 +58,11 @@ def chain_diff(run, short=3, long=13):
 
 
 def main():
-    cfg = SelsaConfig()
+    # packed-input serving contract, as bench.py (s4d: frames ship
+    # [H/4, W/4, 48], packed by the host pipeline)
+    cfg = SelsaConfig(input_packed=2)
     model = SelsaDetector(cfg=cfg)
+    pk = lambda a: pack_frame(pack_frame(a))
     params = cast_params_for_inference(
         init_params(model, jax.random.PRNGKey(0), small=True))
     anchors = make_anchors(cfg)
@@ -66,19 +72,21 @@ def main():
     results = {}
 
     # -- mode A: per-frame step (bench.py's current headline) ------------
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(2,))
     def stepA(params, anchors, st, fr, ishape, sfv):
         nst, dets = inference_step(model, params, st, fr, ishape, sfv, anchors)
         return nst, dets, fr + 1e-12 * dets.scores.sum()
 
+    clone = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
     st0 = fresh_state(cfg, jax.random.PRNGKey(1))
-    fr0 = jax.random.normal(jax.random.PRNGKey(2), (cfg.pad_h, cfg.pad_w, 3))
-    st, dets, fr = stepA(params, anchors, st0, fr0, img_shape, sf)
+    fr0 = pk(jax.random.normal(jax.random.PRNGKey(2),
+                               (cfg.pad_h, cfg.pad_w, 3)))
+    st, dets, fr = stepA(params, anchors, clone(st0), fr0, img_shape, sf)
     float(jax.device_get(dets.scores.sum()))
 
     def runA(n):
+        st, fr = clone(st0), fr0
         t0 = time.perf_counter()
-        st, fr = st0, fr0
         for _ in range(n):
             st, dets, fr = stepA(params, anchors, st, fr, img_shape, sf)
         jax.device_get(dets.scores.sum())
@@ -88,20 +96,21 @@ def main():
     results["step_fps"] = 1.0 / per_call
 
     # -- mode B: whole-clip scan ----------------------------------------
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(2,))
     def stepB(params, anchors, st, frames, ishape, sfv):
         nst, dets = inference_clip(model, params, st, frames, ishape, sfv,
                                    anchors)
         return nst, dets, frames + 1e-12 * dets.scores.sum()
 
-    frames0 = jax.random.normal(jax.random.PRNGKey(3),
-                                (T, cfg.pad_h, cfg.pad_w, 3))
-    st, dets, frames = stepB(params, anchors, st0, frames0, img_shape, sf)
+    frames0 = pk(jax.random.normal(jax.random.PRNGKey(3),
+                                   (T, cfg.pad_h, cfg.pad_w, 3)))
+    st, dets, frames = stepB(params, anchors, clone(st0), frames0, img_shape,
+                             sf)
     float(jax.device_get(dets.scores.sum()))
 
     def runB(n):
+        st, fr = clone(st0), frames0
         t0 = time.perf_counter()
-        st, fr = st0, frames0
         for _ in range(n):
             st, dets, fr = stepB(params, anchors, st, fr, img_shape, sf)
         jax.device_get(dets.scores.sum())
@@ -126,8 +135,8 @@ def main():
 
         def fresh(S=S):
             return (fresh_state(cfg, jax.random.PRNGKey(4), n=S),
-                    jax.random.normal(jax.random.PRNGKey(5),
-                                      (S, T, cfg.pad_h, cfg.pad_w, 3)))
+                    pk(jax.random.normal(jax.random.PRNGKey(5),
+                                         (S, T, cfg.pad_h, cfg.pad_w, 3))))
 
         def runC(n, S=S, ishS=ishS, sfS=sfS):
             st, fr = fresh()  # donated buffers are consumed per run
