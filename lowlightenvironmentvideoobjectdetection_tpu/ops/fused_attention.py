@@ -29,14 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     # q: [1, N, hd]; k/v: [1, M, hd]; bias: [1, M]; o: [1, N, hd]
-    q = q_ref[0]
+    # scale folded into q pre-dot (scaling [N, M] f32 costs a full VPU pass)
+    q = q_ref[0] * (1.0 / (q_ref.shape[-1] ** 0.5))
     k = k_ref[0]
     v = v_ref[0]
-    hd = q.shape[-1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (1.0 / (hd ** 0.5))  # [N, M]
+    )  # [N, M]
     s = s + bias_ref[:]  # [1, M] broadcasts over rows
     p = jax.nn.softmax(s, axis=-1)
     o_ref[0] = jax.lax.dot_general(
@@ -101,17 +101,18 @@ def _attn2_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, b1_ref, b2_ref,
     # (current-frame slab); b1: [1, M1]; b2: [1, M2]; o: [1, N, hd].
     # Joint softmax over the concatenation of both slabs WITHOUT the
     # concatenated K/V ever existing (in HBM or VMEM).
-    q = q_ref[0]
+    # 1/sqrt(hd) is folded into q on the [N, hd] operand BEFORE the dot —
+    # scaling the [N, M] f32 score matrix instead costs a full extra VPU
+    # pass over ~1.4M elements per head (~1.5 us x 16 heads x 2 layers).
+    q = q_ref[0] * (1.0 / (q_ref.shape[-1] ** 0.5))
     k1, v1 = k1_ref[0], v1_ref[0]
     k2, v2 = k2_ref[0], v2_ref[0]
-    hd = q.shape[-1]
-    scale = 1.0 / (hd ** 0.5)
     s1 = jax.lax.dot_general(
         q, k1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + b1_ref[:]
+        preferred_element_type=jnp.float32) + b1_ref[:]
     s2 = jax.lax.dot_general(
         q, k2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + b2_ref[:]
+        preferred_element_type=jnp.float32) + b2_ref[:]
     m = jnp.maximum(s1.max(axis=-1), s2.max(axis=-1))  # [N]
     e1 = jnp.exp(s1 - m[:, None])
     e2 = jnp.exp(s2 - m[:, None])
