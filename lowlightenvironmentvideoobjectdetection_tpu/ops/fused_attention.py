@@ -66,7 +66,9 @@ def selsa_fused_attention_hm(
     n, nb, hd = q.shape
     m = k.shape[1]
     npad = _round_up(n, 8)
-    mpad = _round_up(m, 128)
+    # sublane (8) alignment suffices — Mosaic masks tile tails; rounding to
+    # 128 cost an explicit HBM pad of the whole K/V set per call
+    mpad = _round_up(m, 8)
 
     qt = jnp.pad(q, ((0, npad - n), (0, 0), (0, 0))).transpose(1, 0, 2)
     kt = jnp.pad(k, ((0, 0), (0, mpad - m), (0, 0)))

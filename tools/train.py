@@ -76,6 +76,10 @@ def build_system(cfg, tiny: bool):
 
     mcfg = dict(cfg["model"])
     mtype = mcfg.pop("type")
+    # serving-only knob: training consumes raw [T, H, W, C] frames; the
+    # streaming eval/serving path re-applies the packed-input contract via
+    # VIDModel._maybe_pack (host-side pack_frame)
+    mcfg.pop("input_packed", None)
     fam = get_family(mtype) if mtype not in DARKFARM_TYPES else None
 
     if fam is not None:
