@@ -191,3 +191,98 @@ class TestVarifocalGolden:
         l_neg = float(varifocal_loss(jnp.asarray([[-20.0]]),
                                      jnp.asarray([[0.0]]), avg_factor=1))
         assert l_neg < 1e-6
+
+
+class TestATSSAssignGolden:
+    """atss_assign vs an independent numpy transcription of mmdet's
+    AtssAssigner (mmdet/core/bbox/assigners/atss_assigner.py:60-154):
+    per-level top-k center-distance candidates, mean+std IoU threshold,
+    center-inside-gt constraint, ties to the highest-IoU gt."""
+
+    @staticmethod
+    def _numpy_atss(level_anchors, gts, valid, topk=9):
+        anchors = np.concatenate(level_anchors)
+        A, G = anchors.shape[0], gts.shape[0]
+        acx = (anchors[:, 0] + anchors[:, 2]) / 2
+        acy = (anchors[:, 1] + anchors[:, 3]) / 2
+        gcx = (gts[:, 0] + gts[:, 2]) / 2
+        gcy = (gts[:, 1] + gts[:, 3]) / 2
+        dist = np.hypot(acx[:, None] - gcx[None], acy[:, None] - gcy[None])
+
+        def iou(a, b):
+            ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
+            iy1 = np.maximum(a[:, None, 1], b[None, :, 1])
+            ix2 = np.minimum(a[:, None, 2], b[None, :, 2])
+            iy2 = np.minimum(a[:, None, 3], b[None, :, 3])
+            inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+            aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+            bb = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            return inter / np.maximum(aa[:, None] + bb[None, :] - inter,
+                                      1e-6)
+
+        ious = iou(anchors, gts)
+        cand = np.zeros((A, G), bool)
+        start = 0
+        for la in level_anchors:
+            n = la.shape[0]
+            k = min(topk, n)
+            d = dist[start:start + n]
+            for g in range(G):
+                sel = np.argsort(d[:, g], kind="stable")[:k]
+                # match the implementation's <= kth-smallest semantics
+                cand[start + np.where(d[:, g] <= d[sel[-1], g])[0], g] = True
+            start += n
+        pos = np.zeros((A, G), bool)
+        for g in range(G):
+            ci = ious[cand[:, g], g]
+            thr = ci.mean() + ci.std()
+            inside = ((acx > gts[g, 0]) & (acx < gts[g, 2])
+                      & (acy > gts[g, 1]) & (acy < gts[g, 3]))
+            pos[:, g] = (cand[:, g] & (ious[:, g] >= thr) & inside
+                         & valid[g])
+        assigned = np.full((A,), -1, np.int64)
+        any_pos = pos.any(axis=1)
+        best = np.argmax(np.where(pos, ious, -1.0), axis=1)
+        assigned[any_pos] = best[any_pos]
+        return assigned
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_numpy_transcription(self, seed):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.atss_head import (
+            atss_assign)
+
+        rng = np.random.RandomState(seed)
+
+        def grid_anchors(h, w, stride, size):
+            ys = (np.arange(h) + 0.5) * stride
+            xs = (np.arange(w) + 0.5) * stride
+            gy, gx = np.meshgrid(ys, xs, indexing="ij")
+            c = np.stack([gx.ravel(), gy.ravel()], -1)
+            return np.concatenate([c - size / 2, c + size / 2],
+                                  -1).astype(np.float32)
+
+        level_anchors = [grid_anchors(8, 8, 8, 12), grid_anchors(4, 4, 16, 24)]
+        gts = np.stack([
+            np.array([rng.uniform(0, 30), rng.uniform(0, 30), 0, 0]),
+            np.array([rng.uniform(20, 40), rng.uniform(20, 40), 0, 0]),
+        ]).astype(np.float32)
+        gts[:, 2] = gts[:, 0] + rng.uniform(10, 30, 2)
+        gts[:, 3] = gts[:, 1] + rng.uniform(10, 30, 2)
+        valid = np.array([True, True])
+
+        want = self._numpy_atss(level_anchors, gts, valid)
+        got = np.asarray(atss_assign(
+            [jnp.asarray(a) for a in level_anchors], jnp.asarray(gts),
+            jnp.asarray(valid)))
+        np.testing.assert_array_equal(got, want)
+        assert (want >= 0).sum() > 0, "degenerate case: no positives"
+
+    def test_invalid_gt_gets_no_positives(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.atss_head import (
+            atss_assign)
+
+        la = [jnp.asarray([[0, 0, 16, 16], [16, 0, 32, 16],
+                           [0, 16, 16, 32], [16, 16, 32, 32]], jnp.float32)]
+        gts = jnp.asarray([[2.0, 2.0, 14.0, 14.0]])
+        out = np.asarray(atss_assign(la, gts, jnp.asarray([False])))
+        assert (out == -1).all()
