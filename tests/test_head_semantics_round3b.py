@@ -286,3 +286,62 @@ class TestATSSAssignGolden:
         gts = jnp.asarray([[2.0, 2.0, 14.0, 14.0]])
         out = np.asarray(atss_assign(la, gts, jnp.asarray([False])))
         assert (out == -1).all()
+
+
+class TestRepPointsMomentGolden:
+    """points_to_boxes moment transform golden (mmdet RepPointsHead
+    points2bbox 'moment' mode, mmdet/models/dense_heads/reppoints_head.py:
+    180-204): box center = point mean, half-extent = point std * exp(mt)."""
+
+    def test_matches_hand_moment_formula(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.reppoints_head import (
+            NUM_POINTS, points_to_boxes)
+
+        rng = np.random.RandomState(0)
+        P, stride = 6, 8.0
+        pts = rng.randn(P, NUM_POINTS, 2).astype(np.float32)  # (dy, dx)
+        centers = rng.uniform(10, 50, (P, 2)).astype(np.float32)
+        mt = np.asarray([0.3, -0.2], np.float32)
+
+        got = np.asarray(points_to_boxes(
+            jnp.asarray(pts.reshape(P, -1)), jnp.asarray(centers), stride,
+            moment_params=jnp.asarray(mt)))
+
+        mean = pts.mean(1)   # (y, x)
+        std = pts.std(1)
+        hw = std[:, 1] * np.exp(mt[0]) * stride
+        hh = std[:, 0] * np.exp(mt[1]) * stride
+        cx = centers[:, 0] + mean[:, 1] * stride
+        cy = centers[:, 1] + mean[:, 0] * stride
+        want = np.stack([cx - hw, cy - hh, cx + hw, cy + hh], -1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_points_on_box_corners_recover_the_box(self):
+        """Points spread uniformly on a box recover that box's center, and
+        scaling all point offsets scales the box extent linearly (the moment
+        property that makes the transform trainable)."""
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.reppoints_head import (
+            NUM_POINTS, points_to_boxes)
+
+        rng = np.random.RandomState(1)
+        # symmetric point cloud around (dy0, dx0)
+        base = rng.randn(NUM_POINTS, 2).astype(np.float32)
+        base -= base.mean(0)
+        off = np.asarray([1.5, -2.0], np.float32)  # (dy, dx)
+        pts = (base + off).reshape(1, -1)
+        centers = np.asarray([[32.0, 16.0]], np.float32)
+        stride = 4.0
+        b1 = np.asarray(points_to_boxes(jnp.asarray(pts),
+                                        jnp.asarray(centers), stride))[0]
+        np.testing.assert_allclose((b1[0] + b1[2]) / 2,
+                                   32.0 + off[1] * stride, rtol=1e-5)
+        np.testing.assert_allclose((b1[1] + b1[3]) / 2,
+                                   16.0 + off[0] * stride, rtol=1e-5)
+        # 2x point spread -> exactly 2x half-extents
+        pts2 = (2 * base + off).reshape(1, -1)
+        b2 = np.asarray(points_to_boxes(jnp.asarray(pts2),
+                                        jnp.asarray(centers), stride))[0]
+        np.testing.assert_allclose(b2[2] - b2[0], 2 * (b1[2] - b1[0]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(b2[3] - b2[1], 2 * (b1[3] - b1[1]),
+                                   rtol=1e-5)
