@@ -84,6 +84,37 @@ class FCOSLossOut(NamedTuple):
     loss_centerness: jnp.ndarray
 
 
+def fcos_targets(points, ranges, gt_boxes, gt_labels, gt_valid):
+    """Point-in-box assignment with per-level regress ranges
+    (fcos_head.py get_targets semantics, no center sampling — the
+    reference's FCOS R50 default).
+
+    points: [P, 2]; ranges: [P, 2]. Returns (pos [P] bool,
+    tgt_labels [P] int32, tgt_ltrb [P, 4]) — labels/ltrb meaningful
+    only where pos.
+    """
+    # distances from every point to every gt: [P, G, 4] (l, t, r, b)
+    l = points[:, None, 0] - gt_boxes[None, :, 0]
+    t = points[:, None, 1] - gt_boxes[None, :, 1]
+    r = gt_boxes[None, :, 2] - points[:, None, 0]
+    b = gt_boxes[None, :, 3] - points[:, None, 1]
+    ltrb = jnp.stack([l, t, r, b], axis=-1)
+    inside = jnp.min(ltrb, axis=-1) > 0  # [P, G]
+    maxd = jnp.max(ltrb, axis=-1)
+    in_range = (maxd >= ranges[:, None, 0]) & (maxd <= ranges[:, None, 1])
+    areas = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 0) * jnp.maximum(
+        gt_boxes[:, 3] - gt_boxes[:, 1], 0)
+    cand = inside & in_range & gt_valid[None, :]
+    area_m = jnp.where(cand, areas[None, :], 1e18)
+    best_gt = jnp.argmin(area_m, axis=1)  # [P]
+    pos = jnp.any(cand, axis=1)
+
+    tgt_ltrb = jnp.take_along_axis(ltrb, best_gt[:, None, None].repeat(4, -1),
+                                   axis=1)[:, 0]  # [P, 4]
+    tgt_labels = gt_labels[best_gt]
+    return pos, tgt_labels, tgt_ltrb
+
+
 def fcos_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes):
     """Point-in-box assignment with per-level regress ranges
     (fcos_head.py get_targets semantics)."""
@@ -101,26 +132,9 @@ def fcos_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes):
         for i, (h, w) in enumerate(shapes)
     ])  # [P, 2]
 
-    # distances from every point to every gt: [P, G, 4] (l, t, r, b)
-    l = points[:, None, 0] - gt_boxes[None, :, 0]
-    t = points[:, None, 1] - gt_boxes[None, :, 1]
-    r = gt_boxes[None, :, 2] - points[:, None, 0]
-    b = gt_boxes[None, :, 3] - points[:, None, 1]
-    ltrb = jnp.stack([l, t, r, b], axis=-1)
-    inside = jnp.min(ltrb, axis=-1) > 0  # [P, G]
-    maxd = jnp.max(ltrb, axis=-1)
-    in_range = (maxd >= ranges[:, None, 0]) & (maxd <= ranges[:, None, 1])
-    areas = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 0) * jnp.maximum(
-        gt_boxes[:, 3] - gt_boxes[:, 1], 0)
-    cand = inside & in_range & gt_valid[None, :]
-    area_m = jnp.where(cand, areas[None, :], 1e18)
-    best_gt = jnp.argmin(area_m, axis=1)  # [P]
-    pos = jnp.any(cand, axis=1)
+    pos, tgt_labels, tgt_ltrb = fcos_targets(
+        points, ranges, gt_boxes, gt_labels, gt_valid)
     num_pos = jnp.maximum(jnp.sum(pos), 1.0)
-
-    tgt_ltrb = jnp.take_along_axis(ltrb, best_gt[:, None, None].repeat(4, -1),
-                                   axis=1)[:, 0]  # [P, 4]
-    tgt_labels = gt_labels[best_gt]
 
     onehot = jax.nn.one_hot(jnp.clip(tgt_labels, 0, num_classes - 1),
                             num_classes) * pos[:, None]
