@@ -142,11 +142,20 @@ class DETRLossOut(NamedTuple):
     loss_giou: jnp.ndarray
 
 
-def detr_loss(cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid,
+def detr_cost(cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid,
               img_shape, num_classes,
-              cls_weight=1.0, l1_weight=5.0, giou_weight=2.0) -> DETRLossOut:
-    """Hungarian-matched set loss (transformer_head loss semantics)."""
-    qn = cls_logits.shape[0]
+              cls_weight=1.0, l1_weight=5.0, giou_weight=2.0):
+    """[Q, G] Hungarian cost matrix with mmdet HungarianAssigner semantics
+    (mmdet/core/bbox/assigners/hungarian_assigner.py:115-125 +
+    mmdet/core/bbox/match_costs/match_cost.py): ClassificationCost
+    -softmax_prob[gt_label]; BBoxL1Cost with its default box_format='xyxy' —
+    the predicted cxcywh is converted to xyxy and L1-compared against the
+    image-size-normalized gt xyxy (NOT cxcywh; only the loss uses cxcywh);
+    IoUCost -GIoU on absolute xyxy. Invalid gt columns are pinned at 1e6.
+
+    Returns (cost, qboxes_abs_xyxy, gt_cxcywh_norm) so the loss can reuse the
+    decoded geometry.
+    """
     h, w = img_shape[0], img_shape[1]
     scale = jnp.asarray([w, h, w, h], jnp.float32)
     # query boxes cxcywh(normalized) -> xyxy(absolute)
@@ -161,11 +170,23 @@ def detr_loss(cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid,
     gt_cxcywh = jnp.stack([
         (gt_norm[:, 0] + gt_norm[:, 2]) / 2, (gt_norm[:, 1] + gt_norm[:, 3]) / 2,
         gt_norm[:, 2] - gt_norm[:, 0], gt_norm[:, 3] - gt_norm[:, 1]], axis=-1)
-    cost_l1 = jnp.sum(jnp.abs(boxes_norm[:, None] - gt_cxcywh[None]), axis=-1)
+    cost_l1 = jnp.sum(
+        jnp.abs(qboxes[:, None] / scale - gt_norm[None]), axis=-1)
     cost_giou = -_giou(qboxes, gt_boxes)
     cost = (cls_weight * cost_cls + l1_weight * cost_l1
             + giou_weight * cost_giou)
-    cost = jnp.where(gt_valid[None, :], cost, 1e6)
+    return jnp.where(gt_valid[None, :], cost, 1e6), qboxes, gt_cxcywh
+
+
+def detr_loss(cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid,
+              img_shape, num_classes,
+              cls_weight=1.0, l1_weight=5.0, giou_weight=2.0) -> DETRLossOut:
+    """Hungarian-matched set loss (transformer_head loss semantics)."""
+    qn = cls_logits.shape[0]
+    safe_labels = jnp.clip(gt_labels, 0, num_classes - 1)
+    cost, qboxes, gt_cxcywh = detr_cost(
+        cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid, img_shape,
+        num_classes, cls_weight, l1_weight, giou_weight)
 
     matched_q = jax.pure_callback(
         _hungarian_host,

@@ -158,6 +158,29 @@ class SparseLossOut(NamedTuple):
     loss_giou: jnp.ndarray
 
 
+def sparse_cost(cls, boxes, gt_boxes, gt_labels, gt_valid, img_shape,
+                num_classes, cls_w=2.0, l1_w=5.0, giou_w=2.0,
+                alpha=0.25, gamma=2.0, eps=1e-12):
+    """[N, G] Hungarian cost with the sparse_rcnn config's semantics
+    (mmdet/configs/sparse_rcnn/sparse_rcnn_r50_fpn_1x_coco.py:81-83):
+    FocalLossCost(weight=2) = pos_cost - neg_cost on sigmoid probs
+    (match_cost.py FocalLossCost.__call__), BBoxL1Cost(weight=5,
+    box_format='xyxy') on image-size-normalized xyxy, IoUCost(giou,
+    weight=2) on absolute xyxy. Invalid gt columns pinned at 1e6."""
+    h, w = img_shape[0], img_shape[1]
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    p = jax.nn.sigmoid(cls)
+    safe_lab = jnp.clip(gt_labels, 0, num_classes - 1)
+    neg_cost = -jnp.log1p(-p + eps) * (1 - alpha) * p ** gamma
+    pos_cost = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    cost_cls = (pos_cost - neg_cost)[:, safe_lab]  # [N, G]
+    cost_l1 = jnp.sum(
+        jnp.abs(boxes[:, None] / scale - gt_boxes[None] / scale), -1)
+    cost_giou = -_giou(boxes, gt_boxes)  # [N, G]
+    cost = cls_w * cost_cls + l1_w * cost_l1 + giou_w * cost_giou
+    return jnp.where(gt_valid[None, :], cost, 1e6)
+
+
 def sparse_rcnn_loss(stage_outs, gt_boxes, gt_labels, gt_valid, img_shape,
                      num_classes, cls_w=2.0, l1_w=5.0, giou_w=2.0
                      ) -> SparseLossOut:
@@ -172,14 +195,9 @@ def sparse_rcnn_loss(stage_outs, gt_boxes, gt_labels, gt_valid, img_shape,
     G = gt_boxes.shape[0]
     for cls, boxes in stage_outs:
         n = cls.shape[0]
-        p = jax.nn.sigmoid(cls)
         safe_lab = jnp.clip(gt_labels, 0, num_classes - 1)
-        cost_cls = -p[:, safe_lab]  # [N, G]
-        cost_l1 = jnp.sum(
-            jnp.abs(boxes[:, None] / scale - gt_boxes[None] / scale), -1)
-        cost_giou = -_giou(boxes, gt_boxes)  # [N, G]
-        cost = cls_w * cost_cls + l1_w * cost_l1 + giou_w * cost_giou
-        cost = jnp.where(gt_valid[None, :], cost, 1e6)
+        cost = sparse_cost(cls, boxes, gt_boxes, gt_labels, gt_valid,
+                           img_shape, num_classes, cls_w, l1_w, giou_w)
         matched = jax.pure_callback(
             _hungarian_host,
             jax.ShapeDtypeStruct((G,), jnp.int32),
