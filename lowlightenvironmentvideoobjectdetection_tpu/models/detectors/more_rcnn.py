@@ -590,16 +590,19 @@ def grid_rcnn_loss(model: GridRCNN, params, batch: DetTrainBatch,
     bx2 = jnp.clip((dec[:, 2] - x1) / rw, 0, 0.999)
     by2 = jnp.clip((dec[:, 3] - y1) / rh, 0, 0.999)
 
-    def border_ce(hm, coord, axis_len):
-        # hm [N, gh, gw]; supervise the 1-D marginal along the border axis
+    def border_ce(hm, coord, axis_len, horizontal):
+        # hm [N, gh, gw]; supervise the 1-D marginal along the border axis:
+        # x-borders live on the width axis (reduce height), y-borders on the
+        # height axis (reduce width)
         tgt_idx = (coord * axis_len).astype(jnp.int32)
-        marg = jax.nn.log_softmax(hm.mean(axis=2 if axis_len == gh else 1),
+        marg = jax.nn.log_softmax(hm.mean(axis=1 if horizontal else 2),
                                   axis=-1)
         return -jnp.take_along_axis(marg, tgt_idx[:, None], axis=1)[:, 0]
 
-    ce = (border_ce(grids[..., 0], bx1, gw) + border_ce(grids[..., 1], by1, gh)
-          + border_ce(grids[..., 2], bx2, gw)
-          + border_ce(grids[..., 3], by2, gh))
+    ce = (border_ce(grids[..., 0], bx1, gw, True)
+          + border_ce(grids[..., 1], by1, gh, False)
+          + border_ce(grids[..., 2], bx2, gw, True)
+          + border_ce(grids[..., 3], by2, gh, False))
     w = tgts.is_pos.astype(jnp.float32)
     loss_grid = jnp.sum(ce * w) / jnp.maximum(w.sum(), 1.0)
 
@@ -663,6 +666,31 @@ def point_rend_detect(model: PointRendRCNN, params, img, img_shape, anchors,
     return dets, masks
 
 
+def grid_borders_decode(grids: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Decode border heatmaps into boxes: each border is the soft-argmax of
+    its 1-D marginal over the roi window. grids [N, gh, gw, 4] (channels
+    x1, y1, x2, y2), boxes [N, 4] roi windows. x-borders live on the width
+    axis (the height axis is reduced) and vice versa — the same axis
+    convention the train loss supervises."""
+    gh, gw = grids.shape[1], grids.shape[2]
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    rw = jnp.maximum(x2 - x1, 1.0)
+    rh = jnp.maximum(y2 - y1, 1.0)
+
+    def border(hm, axis_len, horizontal):
+        marg = jax.nn.softmax(
+            hm.astype(jnp.float32).mean(axis=1 if horizontal else 2), axis=-1)
+        pos = jnp.arange(axis_len, dtype=jnp.float32) + 0.5
+        return jnp.sum(marg * pos[None], axis=-1) / axis_len  # [N] in (0,1)
+
+    bx1 = x1 + border(grids[..., 0], gw, True) * rw
+    by1 = y1 + border(grids[..., 1], gh, False) * rh
+    bx2 = x1 + border(grids[..., 2], gw, True) * rw
+    by2 = y1 + border(grids[..., 3], gh, False) * rh
+    return jnp.stack([jnp.minimum(bx1, bx2), jnp.minimum(by1, by2),
+                      jnp.maximum(bx1, bx2), jnp.maximum(by1, by2)], axis=-1)
+
+
 def grid_rcnn_detect(model: GridRCNN, params, img, img_shape, anchors,
                      scale_factor=None):
     """grid_rcnn.py simple_test: proposals -> cls scores (no reg deltas);
@@ -684,23 +712,7 @@ def grid_rcnn_detect(model: GridRCNN, params, img, img_shape, anchors,
     rf14 = model.apply(params, neck[0], props.boxes, binds,
                        method=GridRCNN.roi_feats14)
     grids = model.apply(params, rf14, method=GridRCNN.grid_forward)
-    gh, gw = grids.shape[1], grids.shape[2]
-    x1, y1, x2, y2 = (props.boxes[:, i] for i in range(4))
-    rw = jnp.maximum(x2 - x1, 1.0)
-    rh = jnp.maximum(y2 - y1, 1.0)
-
-    def border(hm, axis_len, horizontal):
-        marg = jax.nn.softmax(
-            hm.astype(jnp.float32).mean(axis=2 if horizontal else 1), axis=-1)
-        pos = jnp.arange(axis_len, dtype=jnp.float32) + 0.5
-        return jnp.sum(marg * pos[None], axis=-1) / axis_len  # [N] in (0,1)
-
-    bx1 = x1 + border(grids[..., 0], gw, True) * rw
-    by1 = y1 + border(grids[..., 1], gh, False) * rh
-    bx2 = x1 + border(grids[..., 2], gw, True) * rw
-    by2 = y1 + border(grids[..., 3], gh, False) * rh
-    boxes = jnp.stack([jnp.minimum(bx1, bx2), jnp.minimum(by1, by2),
-                       jnp.maximum(bx1, bx2), jnp.maximum(by1, by2)], axis=-1)
+    boxes = grid_borders_decode(grids, props.boxes)
     boxes = jnp.clip(boxes, 0.0,
                      jnp.asarray([img_shape[1], img_shape[0]] * 2,
                                  jnp.float32))

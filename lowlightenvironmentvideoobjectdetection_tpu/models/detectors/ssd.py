@@ -41,6 +41,11 @@ def ssd_anchors(shapes: Sequence[Tuple[int, int]]) -> list:
         whs = [(mn, mn), (np.sqrt(mn * mx), np.sqrt(mn * mx))]
         for r in SSD_RATIOS[li]:
             sr = np.sqrt(r)
+            # mmdet SSDAnchorGenerator order (anchor_generator.py:418-454):
+            # ratio list per pair is [1/r, r] with the h/w convention
+            # (h_ratios=sqrt(ratio)), so the WIDE anchor of each pair comes
+            # first; the index-select [0, A, 1, 2, ...] hoists the sqrt-size
+            # square to slot 1
             whs.append((mn * sr, mn / sr))
             whs.append((mn / sr, mn * sr))
         whs = np.asarray(whs, np.float32)  # [A, 2]
@@ -142,6 +147,9 @@ class SSD(nn.Module):
         return self.bbox_head(self.backbone(imgs))
 
 
+SSD_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
 class SSDLossOut(NamedTuple):
     loss_cls: jnp.ndarray
     loss_bbox: jnp.ndarray
@@ -183,7 +191,9 @@ def ssd_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes,
 
     matched = gt_boxes[jnp.clip(assign.assigned_gt_inds - 1, 0,
                                 gt_boxes.shape[0] - 1)]
-    deltas = box_ops.bbox2delta(anchors, matched)
+    # ssd300 config bbox_coder: target_stds=[.1, .1, .2, .2]
+    # (configs/_base_/models/ssd300.py:29-30)
+    deltas = box_ops.bbox2delta(anchors, matched, stds=SSD_STDS)
     loss_bbox = losses.smooth_l1_loss(
         reg_all, deltas, beta=1.0,
         weight=pos[:, None].astype(jnp.float32), avg_factor=num_pos)
@@ -204,7 +214,8 @@ def ssd_decode(level_outs, img_shape, num_classes, nms_pre=1000,
         k = min(nms_pre, flat.shape[0])
         top_s, top_i = jax.lax.top_k(flat, k)
         bi = top_i // num_classes
-        decoded = box_ops.delta2bbox(anc[bi], deltas[bi], max_shape=img_shape)
+        decoded = box_ops.delta2bbox(anc[bi], deltas[bi], stds=SSD_STDS,
+                                     max_shape=img_shape)
         all_b.append(decoded)
         all_s.append(top_s)
         all_l.append((top_i % num_classes).astype(jnp.int32))
