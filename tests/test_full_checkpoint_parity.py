@@ -66,16 +66,18 @@ class TorchBottleneckDC(tnn.Module):
 
 
 class TorchResNet50DC5(tnn.Module):
-    """R50 with strides (1,2,2,1), dilations (1,1,1,2) — the VID backbone."""
+    """R50/R101 with strides (1,2,2,1), dilations (1,1,1,2) — the VID
+    backbone (stage3 blocks: 6 for depth 50, 23 for depth 101)."""
 
-    def __init__(self):
+    def __init__(self, stage3_blocks: int = 6):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         self.relu = tnn.ReLU(inplace=True)
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
         inplanes = 64
-        spec = [(64, 3, 1, 1), (128, 4, 2, 1), (256, 6, 2, 1), (512, 3, 1, 2)]
+        spec = [(64, 3, 1, 1), (128, 4, 2, 1), (256, stage3_blocks, 2, 1),
+                (512, 3, 1, 2)]
         for li, (planes, blocks, stride, dil) in enumerate(spec, start=1):
             layers = []
             ds = tnn.Sequential(
@@ -199,6 +201,40 @@ def pipeline_pair():
     variables = import_selsa_checkpoint(sd)
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     return tmodel, jmodel, variables
+
+
+class TestR101BackboneParity:
+    """Same-weights R101-DC5 backbone parity (backs the R-101 config rows:
+    selsa/fgfa/dff *_r101_dc5 — reference model-zoo AP@50 81.5/77.8/73.5)."""
+
+    def test_r101_dc5_same_features(self):
+        torch.manual_seed(3)
+        tb = TorchResNet50DC5(stage3_blocks=23).eval()
+        _randomize_bn(tb, seed=3)
+        sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+        from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+            ResNet,
+        )
+        from lowlightenvironmentvideoobjectdetection_tpu.utils.torch_import import (
+            import_resnet,
+        )
+
+        params, stats = import_resnet(sd, stage_blocks=(3, 4, 23, 3))
+        model = ResNet(depth=101, strides=(1, 2, 2, 1),
+                       dilations=(1, 1, 1, 2), out_indices=(3,),
+                       dtype=jnp.float32)
+        rng = np.random.RandomState(7)
+        img = rng.uniform(-2, 2, (1, 96, 96, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tb(torch.from_numpy(img.transpose(0, 3, 1, 2))
+                      ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(model.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params),
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+            jnp.asarray(img))[0])
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 class TestFullCheckpointParity:
