@@ -9,7 +9,12 @@ backbones resnet_A..E plugins) with an XLA formulation:
   (p + p_k + Δp_k(p)), scale by the sigmoid mask m_k(p), then contract the
   [K, Cin] samples with the [K, Cin, Cout] weight on the MXU.
 
-NHWC layout; offsets follow mmcv's (y, x) interleaving per deform group.
+NHWC layout; offset channels are laid out per deform group as [all-K dy,
+then all-K dx] — the same *learned* packing freedom the reference's
+ModulatedDCNPack exploits (denoising_aggregator.py:107-109 chunks its offset
+conv into thirds and concatenates, so the dy/dx channel assignment is
+whatever the zero-initialized conv_offset learns; only internal consistency
+matters).
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ def modulated_deform_conv(
     kernel_size: int = 3,
     deform_groups: int = 1,
 ) -> jnp.ndarray:
-    """x: [H, W, Cin]; offset: [H, W, G*2K] (y, x interleaved per tap);
+    """x: [H, W, Cin]; offset: [H, W, G*2K] (per group: K dy then K dx);
     mask: [H, W, G*K] (already sigmoided); weight: [kh, kw, Cin, Cout].
     Stride 1, 'same' padding, dilation 1 (the configuration every reference
     use-site employs). Returns [H, W, Cout].
@@ -64,28 +69,34 @@ def modulated_deform_conv(
     # smaller — the K-materializing variant OOMs 16GB chips during full-res
     # aggregator training)
     def sample_group(xg, sy_k, sx_k, m_k):
-        """xg: [H, W, Cpg]; sy_k/sx_k/m_k: [H, W] -> [H, W, Cpg]."""
-        inb = (sy_k > -1.0) & (sy_k < h) & (sx_k > -1.0) & (sx_k < w)
-        syc = jnp.clip(sy_k, 0.0, h - 1.0)
-        sxc = jnp.clip(sx_k, 0.0, w - 1.0)
-        y0 = jnp.floor(syc)
-        x0 = jnp.floor(sxc)
-        y1 = jnp.minimum(y0 + 1, h - 1.0)
-        x1 = jnp.minimum(x0 + 1, w - 1.0)
-        ly = syc - y0
-        lx = sxc - x0
+        """xg: [H, W, Cpg]; sy_k/sx_k/m_k: [H, W] -> [H, W, Cpg].
+
+        Exact mmcv ``dmcn_im2col_bilinear`` boundary semantics: each of the
+        four corner taps contributes only if it lies inside the map, so a
+        fractionally-outside sample fades bilinearly to zero (clipping the
+        coordinate first would give the edge row/column full weight).
+        """
+        y0 = jnp.floor(sy_k)
+        x0 = jnp.floor(sx_k)
+        y1 = y0 + 1
+        x1 = x0 + 1
+        ly = sy_k - y0
+        lx = sx_k - x0
         flat = xg.reshape(h * w, -1)
 
-        def take(yi, xi):
-            return flat[(yi * w + xi).astype(jnp.int32)]
+        def corner(yi, xi, wgt):
+            ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            yc = jnp.clip(yi, 0.0, h - 1.0)
+            xc = jnp.clip(xi, 0.0, w - 1.0)
+            v = flat[(yc * w + xc).astype(jnp.int32)]
+            return v * (wgt * ok)[..., None]
 
         val = (
-            take(y0, x0) * ((1 - ly) * (1 - lx))[..., None]
-            + take(y0, x1) * ((1 - ly) * lx)[..., None]
-            + take(y1, x0) * (ly * (1 - lx))[..., None]
-            + take(y1, x1) * (ly * lx)[..., None]
+            corner(y0, x0, (1 - ly) * (1 - lx))
+            + corner(y0, x1, (1 - ly) * lx)
+            + corner(y1, x0, ly * (1 - lx))
+            + corner(y1, x1, ly * lx)
         )
-        val = jnp.where(inb[..., None], val, 0.0)
         return val * (m_k[..., None])
 
     w_mat = weight.reshape(kk, cin, -1)  # [K, Cin, Cout]
