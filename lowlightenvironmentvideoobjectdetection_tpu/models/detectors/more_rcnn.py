@@ -39,11 +39,11 @@ from ...ops.roi_align import roi_align
 from ..dense_heads import rpn_head as rpn
 from ..roi_heads import bbox_head as bh
 from ..roi_heads.mask_head import (
-    FCNMaskHead, mask_loss, mask_targets, paste_masks,
+    FCNMaskHead, mask_iou_targets, mask_loss, mask_targets, paste_masks,
 )
 
 
-def _roi_mask_targets(batch, tgts, mask_size=28):
+def _roi_mask_targets(batch, tgts, mask_size=28, return_matched=False):
     """Matched-gt mask crops per sampled roi (mask_rcnn.py:106-117 recipe)."""
     from ...core import assigners
 
@@ -53,8 +53,11 @@ def _roi_mask_targets(batch, tgts, mask_size=28):
     )
     matched = jnp.clip(assign.assigned_gt_inds - 1, 0,
                        batch.gt_boxes.shape[0] - 1)
-    return mask_targets(batch.gt_masks.astype(jnp.float32), matched,
-                        tgts.rois, mask_size=mask_size)
+    m_tgts = mask_targets(batch.gt_masks.astype(jnp.float32), matched,
+                          tgts.rois, mask_size=mask_size)
+    if return_matched:
+        return m_tgts, matched
+    return m_tgts
 from ..vid.selsa import SelsaConfig, make_anchors
 from .faster_rcnn import DetTrainBatch, FasterRCNN
 from .mask_rcnn import MaskRCNN, MaskTrainBatch, mask_rcnn_loss
@@ -259,15 +262,19 @@ def mask_scoring_loss(model: MaskScoringRCNN, params, batch: MaskTrainBatch,
     _, mask_pred, miou_pred = model.apply(
         params, neck[0], tgts.rois, binds,
         method=MaskScoringRCNN.mask_branch)
-    # actual IoU of thresholded predicted mask vs roi-cropped gt mask
-    m_tgts = _roi_mask_targets(batch, tgts, mask_size=mask_pred.shape[1])
+    # IoU target of the thresholded predicted mask vs the WHOLE gt instance
+    # (maskiou_head.py:101-175: the out-of-box part of the instance counts
+    # in the union, via the in-box/full-instance area ratio)
+    m_tgts, matched = _roi_mask_targets(
+        batch, tgts, mask_size=mask_pred.shape[1], return_matched=True)
     cls_idx = jnp.clip(tgts.labels, 0, cfg.num_classes - 1)
-    pred_c = jax.nn.sigmoid(
+    pred_c = (jax.nn.sigmoid(
         jnp.take_along_axis(
-            mask_pred, cls_idx[:, None, None, None], axis=-1)[..., 0]) > 0.5
-    inter = jnp.sum(pred_c & (m_tgts > 0.5), axis=(1, 2))
-    union = jnp.sum(pred_c | (m_tgts > 0.5), axis=(1, 2))
-    actual_iou = inter / jnp.maximum(union, 1.0)
+            mask_pred, cls_idx[:, None, None, None], axis=-1)[..., 0])
+        > 0.5).astype(jnp.float32)
+    actual_iou = mask_iou_targets(
+        pred_c, (m_tgts > 0.5).astype(jnp.float32),
+        batch.gt_masks.astype(jnp.float32), matched, tgts.rois)
     miou_c = jnp.take_along_axis(miou_pred, cls_idx[:, None], axis=-1)[:, 0]
     w = tgts.is_pos.astype(jnp.float32)
     loss_miou = 0.5 * jnp.sum(w * (miou_c - actual_iou) ** 2) / \
@@ -297,6 +304,26 @@ class PointHead(nn.Module):
         return nn.Dense(self.num_classes, name="fc_logits")(x)
 
 
+def uncertain_point_indices(mask_pred, labels, num_points):
+    """Most-uncertain grid cells per roi (mask_point_head.py:187-205 +
+    get_roi_rel_points_test): uncertainty = -|logit| of the roi's class
+    channel (or the max channel when labels is None), static top-k.
+
+    mask_pred: [N, mh, mw, C]; labels: [N] or None. Returns
+    (idx [N, P] flat grid indices, unc [N, mh*mw])."""
+    n, mh, mw, c = mask_pred.shape
+    flat = mask_pred.reshape(n, mh * mw, c)
+    if labels is None:
+        cls_logit = jnp.max(flat, axis=-1)
+    else:
+        cls_idx = jnp.clip(labels, 0, c - 1)
+        cls_logit = jnp.take_along_axis(
+            flat, cls_idx[:, None, None], axis=-1)[..., 0]
+    unc = -jnp.abs(cls_logit)
+    _, idx = jax.lax.top_k(unc, num_points)
+    return idx, unc
+
+
 class PointRendRCNN(nn.Module):
     cfg: SelsaConfig = SelsaConfig()
     num_points: int = 49
@@ -306,15 +333,16 @@ class PointRendRCNN(nn.Module):
         self.point_head = PointHead(num_classes=self.cfg.num_classes,
                                     name="point_head")
 
-    def refine(self, neck, rois, binds, mask_pred):
+    def refine(self, neck, rois, binds, mask_pred, labels=None):
         """Refine each roi's coarse mask at its most uncertain points.
 
-        Uncertainty = |logit| closest to 0 on the matched... class-agnostic
-        max channel (static top-k of num_points)."""
+        Uncertainty = -|logit| of the roi's class channel (gt class at
+        train, predicted class at test) — mask_point_head.py:187-205
+        ``_get_uncertainty``; static top-k of num_points grid cells
+        (the test-time ``get_roi_rel_points_test`` selection)."""
         n, mh, mw, c = mask_pred.shape
         flat = mask_pred.reshape(n, mh * mw, c)
-        unc = -jnp.abs(jnp.max(flat, axis=-1))  # [N, mh*mw]
-        _, idx = jax.lax.top_k(unc, self.num_points)  # most uncertain
+        idx, _ = uncertain_point_indices(mask_pred, labels, self.num_points)
         py = (idx // mw + 0.5) / mh  # normalized roi coords [0, 1]
         px = (idx % mw + 0.5) / mw
 
@@ -335,12 +363,12 @@ class PointRendRCNN(nn.Module):
         out = flat.at[jnp.arange(n)[:, None], idx].set(refined)
         return out.reshape(n, mh, mw, c), idx
 
-    def mask_with_points(self, neck, rois, binds):
+    def mask_with_points(self, neck, rois, binds, labels=None):
         mf = self.mask_rcnn.mask_roi_feats(neck[None] if neck.ndim == 3
                                            else neck, rois, binds)
         mp = self.mask_rcnn.mask_forward(mf)
         return self.refine(neck if neck.ndim == 3 else neck[0], rois, binds,
-                           mp)
+                           mp, labels=labels)
 
     def __call__(self, imgs):
         _, neck = self.mask_rcnn.extract_feat(imgs)
@@ -375,7 +403,7 @@ def point_rend_loss(model: PointRendRCNN, params, batch: MaskTrainBatch,
         num_samples=cfg.num_roi_samples,
     )
     binds = jnp.zeros((tgts.rois.shape[0],), jnp.int32)
-    refined, idx = model.apply(params, neck[0], tgts.rois, binds,
+    refined, idx = model.apply(params, neck[0], tgts.rois, binds, tgts.labels,
                                method=PointRendRCNN.mask_with_points)
     m_tgts = _roi_mask_targets(batch, tgts, mask_size=refined.shape[1])
     n = refined.shape[0]
@@ -657,7 +685,7 @@ def point_rend_detect(model: PointRendRCNN, params, img, img_shape, anchors,
     _, neck = model.apply(
         params, img[None], method=lambda m, x: m.mask_rcnn.extract_feat(x))
     binds = jnp.zeros((dets.boxes.shape[0],), jnp.int32)
-    refined, _ = model.apply(params, neck[0], dets.boxes, binds,
+    refined, _ = model.apply(params, neck[0], dets.boxes, binds, dets.labels,
                              method=PointRendRCNN.mask_with_points)
     cls_idx = jnp.clip(dets.labels, 0, cfg.num_classes - 1)
     probs = jax.nn.sigmoid(jnp.take_along_axis(

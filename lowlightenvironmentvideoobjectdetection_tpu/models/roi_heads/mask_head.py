@@ -57,6 +57,49 @@ def mask_targets(gt_masks: jnp.ndarray, matched_gt_idx: jnp.ndarray,
     return (out[..., 0] >= 0.5).astype(jnp.float32)
 
 
+def mask_iou_targets(pred_bin: jnp.ndarray, m_tgts: jnp.ndarray,
+                     gt_masks: jnp.ndarray, matched_gt_idx: jnp.ndarray,
+                     rois: jnp.ndarray) -> jnp.ndarray:
+    """MaskIoU regression target (maskiou_head.py:101-175 semantics).
+
+    Target = IoU of the binarized predicted mask (inside its box) against
+    the WHOLE gt instance: the part of the instance outside the box counts
+    in the union. The full-instance area enters in mask-grid units through
+    the in-box/full-instance area ratio, exactly like the reference's
+    ``_get_area_ratio`` (BitmapMasks.crop int-cast, boundary-clipped,
+    >=1px slicing) + ``gt_full_areas = mask_targets.sum / ratio``.
+
+    pred_bin / m_tgts: [N, S, S] binary maps; gt_masks: [G, H, W] binary;
+    matched_gt_idx: [N]; rois: [N, 4]. Returns [N] IoU targets.
+    """
+    _, h, w = gt_masks.shape
+    gm = gt_masks[matched_gt_idx]  # [N, H, W]
+    full_area = jnp.sum(gm, axis=(1, 2))
+
+    # BitmapMasks.crop: int-cast coords clipped to the map, slice width/
+    # height at least 1 px -> region [x1, x1 + max(x2 - x1, 1))
+    x1 = jnp.clip(jnp.floor(rois[:, 0]), 0, w)
+    y1 = jnp.clip(jnp.floor(rois[:, 1]), 0, h)
+    x2 = jnp.clip(jnp.floor(rois[:, 2]), 0, w)
+    y2 = jnp.clip(jnp.floor(rois[:, 3]), 0, h)
+    wd = jnp.maximum(x2 - x1, 1.0)
+    ht = jnp.maximum(y2 - y1, 1.0)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    inside = (
+        (xs >= x1[:, None, None]) & (xs < (x1 + wd)[:, None, None])
+        & (ys >= y1[:, None, None]) & (ys < (y1 + ht)[:, None, None])
+    )
+    in_area = jnp.sum(gm * inside, axis=(1, 2))
+    ratio = in_area / (full_area + 1e-7)
+
+    gt_full = jnp.sum(m_tgts, axis=(1, 2)) / (ratio + 1e-7)
+    overlap = jnp.sum(pred_bin * m_tgts, axis=(1, 2))
+    pred_area = jnp.sum(pred_bin, axis=(1, 2))
+    denom = pred_area + gt_full - overlap
+    return overlap / jnp.maximum(denom, 1e-7)
+
+
 def mask_loss(mask_logits: jnp.ndarray, targets: jnp.ndarray,
               labels: jnp.ndarray, is_pos: jnp.ndarray) -> jnp.ndarray:
     """BCE on the matched class channel over positive rois

@@ -86,17 +86,17 @@ class TestGridSample:
         out = grid_sample(feat, grid)
         np.testing.assert_allclose(np.asarray(out), 0.0)
 
-    def test_flow_warp_zero_flow(self):
+    def test_flow_warp_zero_flow_centered(self):
         feat = linear_feat(8, 8, c=4)
         flow = jnp.zeros((8, 8, 2))
-        out = flow_warp_feats(feat, flow)
+        out = flow_warp_feats(feat, flow, centered=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(feat), atol=1e-3)
 
-    def test_flow_warp_shift(self):
+    def test_flow_warp_shift_centered(self):
         # flow of +1 px in x means output(y, x) = input(y, x+1)
         feat = linear_feat(8, 8)
         flow = jnp.zeros((8, 8, 2)).at[..., 0].set(1.0)
-        out = flow_warp_feats(feat, flow)
+        out = flow_warp_feats(feat, flow, centered=True)
         np.testing.assert_allclose(
             np.asarray(out[:, :-1, 0]), np.asarray(feat[:, 1:, 0]), atol=1e-3
         )
