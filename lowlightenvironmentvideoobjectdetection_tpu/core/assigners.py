@@ -47,14 +47,21 @@ def max_iou_assign(
     box_valid: Optional[jnp.ndarray] = None,
     match_low_quality: bool = True,
     gt_max_assign_all: bool = True,
+    overlaps: Optional[jnp.ndarray] = None,
 ) -> AssignResult:
     """Assign each of N boxes to one of G (padded) gts.
 
     boxes: [N, 4]; gt_boxes: [G, 4]; gt_labels: [G] int32; gt_valid: [G] bool.
     box_valid: optional [N] bool (anchors outside image / padded proposals).
+    overlaps: optional precomputed [G, N] IoU matrix replacing the internal
+      ``bbox_overlaps(gt_boxes, boxes)`` — the hook ApproxMaxIoUAssigner
+    (mmdetection/mmdet/core/bbox/assigners/approx_max_iou_assigner.py:121-125)
+      needs: its overlaps are the per-square max over the octave's approx
+      anchors, after which assignment proceeds exactly as MaxIoU.
     """
-    n = boxes.shape[0]
-    overlaps = bbox_overlaps(gt_boxes, boxes)  # [G, N]
+    n = overlaps.shape[1] if overlaps is not None else boxes.shape[0]
+    if overlaps is None:
+        overlaps = bbox_overlaps(gt_boxes, boxes)  # [G, N]
     overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
     if box_valid is not None:
         overlaps = jnp.where(box_valid[None, :], overlaps, -1.0)

@@ -72,8 +72,17 @@ def _gmm_pos_split(scores: jnp.ndarray, valid: jnp.ndarray,
     """Batched 2-component 1-D GMM EM over per-gt candidate scores.
 
     scores: [G, K] (lower = better candidate); valid: [G, K].
-    Returns a [G, K] bool mask of candidates assigned to the LOWER-mean
-    component — PAA's positives (paa_head.py gmm_separation_scheme).
+    Returns a [G, K] bool mask of PAA's positives per the reference's
+    separation scheme (c) (paa_head.py gmm_separation_scheme:370-399):
+    among candidates assigned to the foreground (lower-mean) component, keep
+    those whose loss does not exceed the loss of the component's
+    maximum-likelihood member (the fg mode) — `pos_inds_gmm[fgs][:thr + 1]`
+    over loss-sorted candidates, NOT the whole fg component.
+
+    The reference inits sklearn's GMM with means (min, max), weights .5,
+    unit precisions and identifies fg as component 0 (the min-initialized
+    one); the fixed-iteration EM here starts from the same init, and fg is
+    the lower-mean component after fitting — identical on separated data.
     """
     big = 1e8
     s = jnp.where(valid, scores, big)
@@ -108,7 +117,15 @@ def _gmm_pos_split(scores: jnp.ndarray, valid: jnp.ndarray,
             - 0.5 * jnp.log(2 * jnp.pi * var[:, None, :])
             + jnp.log(jnp.clip(pi[:, None, :], 1e-8)))
     assign = jnp.argmax(logp, axis=-1)  # [G, K]
-    return (assign == lo[:, None]) & valid
+    fg = (assign == lo[:, None]) & valid
+    # scheme (c): threshold at the fg mode's loss (sklearn score_samples ->
+    # topk(1) in the reference); mixture log-likelihood = logsumexp over the
+    # weighted component log-probs.
+    loglik = jax.scipy.special.logsumexp(logp, axis=-1)  # [G, K]
+    ll_fg = jnp.where(fg, loglik, -jnp.inf)
+    thr = jnp.take_along_axis(
+        s, jnp.argmax(ll_fg, axis=1)[:, None], axis=1)  # [G, 1]
+    return fg & (s <= thr) & jnp.any(fg, axis=1, keepdims=True)
 
 
 def paa_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes,

@@ -184,8 +184,12 @@ class TestPAA:
 
         scores = jnp.asarray([[0.1, 0.12, 0.11, 3.0, 3.1, 2.9]])
         valid = jnp.ones((1, 6), bool)
-        pos = P._gmm_pos_split(scores, valid)
-        assert pos[0].tolist() == [True, True, True, False, False, False]
+        pos = np.asarray(P._gmm_pos_split(scores, valid)[0])
+        # scheme (c): positives are the fg candidates up to the fg mode's
+        # loss — a nonempty subset of the low cluster, never the high one.
+        assert pos.any()
+        assert not pos[3:].any()
+        assert pos[0]  # the lowest-loss candidate is always kept
 
 
 class TestZooRegistration:
