@@ -112,6 +112,71 @@ def max_iou_assign(
     return AssignResult(assigned, max_overlaps, labels)
 
 
+def point_assign(
+    points_xy: jnp.ndarray,
+    points_lvl: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    scale: float = 4.0,
+    pos_num: int = 1,
+) -> AssignResult:
+    """PointAssigner (mmdetection/mmdet/core/bbox/assigners/point_assigner.py:
+    22-131), static-shape. Used by RepPoints' init stage.
+
+    points_xy: [P, 2]; points_lvl: [P] int32 = log2(point stride)
+    (PointGenerator emits (x, y, stride); the reference takes
+    ``torch.log2(stride).int()``). gt level = trunc((log2(w/scale) +
+    log2(h/scale)) / 2) clamped to [points_lvl.min(), points_lvl.max()].
+    Each gt claims its ``pos_num`` nearest points *on its level* by
+    gt-size-normalized euclidean distance; a point contested by several gts
+    goes to the strictly closer one (the reference's sequential gt loop
+    updates only on ``min_dist < assigned_gt_dist``, so ties keep the
+    earlier gt). max_overlaps is returned as zeros (the reference returns
+    ``None``).
+    """
+    num_p = points_xy.shape[0]
+    num_g = gt_boxes.shape[0]
+    gt_xy = (gt_boxes[:, :2] + gt_boxes[:, 2:]) / 2
+    gt_wh = jnp.maximum(gt_boxes[:, 2:] - gt_boxes[:, :2], 1e-6)
+    gt_lvl = jnp.trunc(
+        (jnp.log2(gt_wh[:, 0] / scale) + jnp.log2(gt_wh[:, 1] / scale)) / 2
+    ).astype(jnp.int32)
+    gt_lvl = jnp.clip(gt_lvl, jnp.min(points_lvl), jnp.max(points_lvl))
+
+    dist = jnp.linalg.norm(
+        (points_xy[:, None, :] - gt_xy[None, :, :]) / gt_wh[None, :, :],
+        axis=-1,
+    )  # [P, G]
+    masked = jnp.where(
+        (points_lvl[:, None] == gt_lvl[None, :]) & gt_valid[None, :],
+        dist, jnp.inf)
+    k = min(pos_num, num_p)
+    neg_d, cand_p = jax.lax.top_k(-masked.T, k)  # [G, k]
+    cand_d = -neg_d
+    flat_p = cand_p.reshape(-1)
+    flat_d = cand_d.reshape(-1)
+    flat_g = jnp.repeat(jnp.arange(num_g, dtype=jnp.int32), k)
+
+    def body(i, carry):
+        agt, adist = carry
+        p, d, g = flat_p[i], flat_d[i], flat_g[i]
+        take = d < adist[p]
+        agt = agt.at[p].set(jnp.where(take, g + 1, agt[p]))
+        adist = adist.at[p].set(jnp.where(take, d, adist[p]))
+        return agt, adist
+
+    assigned, _ = jax.lax.fori_loop(
+        0, num_g * k, body,
+        (jnp.zeros((num_p,), jnp.int32), jnp.full((num_p,), jnp.inf)))
+    labels = jnp.where(
+        assigned > 0,
+        gt_labels[jnp.clip(assigned - 1, 0, num_g - 1)],
+        -1,
+    ).astype(jnp.int32)
+    return AssignResult(assigned, jnp.zeros((num_p,), jnp.float32), labels)
+
+
 def _rank_by_random(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     """Random rank (0-based) of each True element among True elements; large
     rank for False elements."""

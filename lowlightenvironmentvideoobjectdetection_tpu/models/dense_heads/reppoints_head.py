@@ -9,13 +9,16 @@ and configs/reppoints/reppoints_moment_r50_fpn_1x_coco.py —
 - points -> box via the MOMENT transfer: center = mean(points),
   half-extent = std(points) * exp(moment_transfer * moment_mul), with
   learnable per-axis moment_transfer (reppoints_head.py points2bbox);
-- targets: init stage assigns each gt to its nearest point on the gt's
-  scale level (PointAssigner); refine stage re-assigns by MaxIoU against
-  the init-decoded boxes; SmoothL1 box losses (init w=0.5, refine w=1.0)
-  computed in stride-normalized coordinates, focal cls on the refine stage.
+- targets: init stage assigns each gt to its nearest same-level point by
+  gt-normalized distance (PointAssigner scale=4 pos_num=1, joint over
+  levels); refine stage re-assigns by MaxIoU (.5/.4/min_pos 0) against the
+  DETACHED init-decoded boxes; SmoothL1 box losses (beta .11; init w=0.5,
+  refine w=1.0) in point_base_scale*stride-normalized coordinates, focal
+  cls on the refine stage averaged by the refine positive count.
 
 TPU-native: point sets are dense [P, 9, 2] tensors; the nearest-point
-assignment is an argmin over a [P, G] distance matrix per level.
+assignment is a masked [P, G] distance matrix + a sequential-conflict
+fori_loop (core/assigners.py point_assign).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...core import boxes as box_ops, losses, nms as nms_ops
+from ...core import losses, nms as nms_ops
 from ...ops.deform_conv import deform_conv
 from ..backbones.resnet import ResNet
 from ..necks.fpn import FPN
@@ -115,7 +118,7 @@ class MomentTransfer(nn.Module):
         mt = (mt * self.moment_mul
               + jax.lax.stop_gradient(mt) * (1 - self.moment_mul))
         mean = jnp.mean(pts, axis=-2)  # [..., 2] (y, x)
-        std = jnp.std(pts, axis=-2)
+        std = jnp.std(pts, axis=-2, ddof=1)  # torch.std is unbiased
         hw = std[..., 1] * jnp.exp(mt[0])
         hh = std[..., 0] * jnp.exp(mt[1])
         return jnp.stack([mean[..., 1] - hw, mean[..., 0] - hh,
@@ -125,10 +128,13 @@ class MomentTransfer(nn.Module):
 def points_to_boxes(pts_flat, centers, stride, moment_params=None,
                     moment_mul: float = 0.01):
     """pts_flat: [P, 2*NUM_POINTS] (dy, dx interleaved); centers [P, 2] (x, y)
-    in image coords. Moment transform with optional learnable multipliers."""
+    in image coords. Moment transform with optional learnable multipliers.
+    The reference (points2bbox, reppoints_head.py:196-211) uses ``torch.std``
+    — UNBIASED (ddof=1) — so the half-extent carries a sqrt(n/(n-1)) factor
+    relative to the population std."""
     pts = pts_flat.reshape(-1, NUM_POINTS, 2)
     mean = jnp.mean(pts, axis=1)  # (y, x)
-    std = jnp.std(pts, axis=1)
+    std = jnp.std(pts, axis=1, ddof=1)
     if moment_params is not None:
         mt = moment_params
         mt = mt * moment_mul + jax.lax.stop_gradient(mt) * (1 - moment_mul)
@@ -150,89 +156,93 @@ class RepPointsLossOut(NamedTuple):
 
 
 def _centers(shapes):
+    """Per-level point grids at ``x * stride`` — mmdet's PointGenerator
+    (mmdet/core/anchor/point_generator.py:17-25) has NO half-cell offset."""
     out = []
     for (h, w), s in zip(shapes, REP_STRIDES):
-        ys = (jnp.arange(h, dtype=jnp.float32)) * s + s / 2
-        xs = (jnp.arange(w, dtype=jnp.float32)) * s + s / 2
+        ys = jnp.arange(h, dtype=jnp.float32) * s
+        xs = jnp.arange(w, dtype=jnp.float32) * s
         gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
         out.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
     return out
 
 
+def _smooth_l1(diff, beta):
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
 def reppoints_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes,
                    moment_params=None) -> RepPointsLossOut:
+    """Exact RepPoints loss (reppoints_head.py:530-663 + the moment config):
+
+    - init stage: PointAssigner (scale=4, pos_num=1) over the points of ALL
+      levels jointly; SmoothL1 (beta=.11, weight .5) on the moment-decoded
+      boxes in ``point_base_scale * stride``-normalized coords, averaged by
+      the init positive count (FocalLoss => sampling=False);
+    - refine stage: MaxIoU (.5/.4/min_pos 0) of the DETACHED init boxes
+      (``pts_preds_init.detach()`` at loss():620) against gts, jointly over
+      levels; SmoothL1 (beta=.11, weight 1) on the refine boxes;
+    - cls: sigmoid focal (alpha=.25, gamma=2) with the refine assignment's
+      labels, pos+neg weight 1 / ignored 0, averaged by the refine positive
+      count.
+    """
+    from ...core import assigners
+
     shapes = [(c.shape[-3], c.shape[-2]) for c, _, _ in level_outs]
     centers = _centers(shapes)
     G = gt_boxes.shape[0]
 
-    # --- init stage: PointAssigner — each gt picks its scale level, then its
-    # nearest point on that level
-    gw = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 1e-6)
-    gh = jnp.maximum(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-6)
-    gt_lvl = jnp.clip(
-        jnp.floor(jnp.log2(jnp.sqrt(gw * gh) / 8.0)), 0, len(shapes) - 1
-    ).astype(jnp.int32)
-    gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
-    gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
-
-    loss_init = 0.0
-    loss_refine = 0.0
-    loss_cls = 0.0
-    num_pos_init = 0.0
-    num_pos_ref = 0.0
+    box_init_l, box_ref_l, cls_l, lvl_l, norm_l = [], [], [], [], []
     for li, (cls, p_init, p_ref) in enumerate(level_outs):
-        h, w = shapes[li]
         stride = REP_STRIDES[li]
         ctr = centers[li]  # [P, 2]
         pi = p_init.reshape(-1, 2 * NUM_POINTS)
         pr = p_ref.reshape(-1, 2 * NUM_POINTS)
-        clsf = cls.reshape(-1, num_classes).astype(jnp.float32)
-        box_init = points_to_boxes(pi, ctr, stride, moment_params)
-        box_ref = points_to_boxes(pr, ctr, stride, moment_params)
+        box_init_l.append(points_to_boxes(pi, ctr, stride, moment_params))
+        box_ref_l.append(points_to_boxes(pr, ctr, stride, moment_params))
+        cls_l.append(cls.reshape(-1, num_classes).astype(jnp.float32))
+        n_pts = ctr.shape[0]
+        # points_lvl = log2(stride): 3..7 for strides 8..128
+        lvl_l.append(jnp.full((n_pts,), li + 3, jnp.int32))
+        norm_l.append(jnp.full((n_pts,), 4.0 * stride, jnp.float32))
 
-        # init assignment: gts of this level claim their nearest point
-        on_lvl = (gt_lvl == li) & gt_valid
-        d2 = ((ctr[:, None, 0] - gcx[None]) ** 2
-              + (ctr[:, None, 1] - gcy[None]) ** 2)  # [P, G]
-        nearest_pt = jnp.argmin(d2, axis=0)  # [G]
-        pos_init = jnp.zeros((ctr.shape[0],), bool).at[nearest_pt].max(on_lvl)
-        gt_of_pt = jnp.zeros((ctr.shape[0],), jnp.int32).at[nearest_pt].max(
-            jnp.where(on_lvl, jnp.arange(G), 0))
-        matched_i = gt_boxes[gt_of_pt]
-        # smooth-l1 in stride-normalized coords (reppoints normalize_term)
-        norm = stride * 4.0
-        diff_i = jnp.abs(box_init - matched_i) / norm
-        sl1_i = jnp.where(diff_i < 0.11 / 4, 0.5 * diff_i ** 2 / (0.11 / 4),
-                          diff_i - 0.5 * 0.11 / 4)
-        loss_init = loss_init + 0.5 * jnp.sum(
-            sl1_i * pos_init[:, None])
-        num_pos_init = num_pos_init + jnp.sum(pos_init)
+    box_init = jnp.concatenate(box_init_l)   # [P, 4]
+    box_ref = jnp.concatenate(box_ref_l)
+    clsf = jnp.concatenate(cls_l)            # [P, C]
+    pts_lvl = jnp.concatenate(lvl_l)
+    norm = jnp.concatenate(norm_l)[:, None]  # [P, 1]
+    pts_xy = jnp.concatenate(centers)        # [P, 2]
 
-        # refine assignment: MaxIoU on init boxes
-        iou = box_ops.bbox_overlaps(jax.lax.stop_gradient(box_init), gt_boxes)
-        iou = jnp.where(gt_valid[None, :], iou, -1.0)
-        best_iou = jnp.max(iou, axis=1)
-        best_gt = jnp.argmax(iou, axis=1)
-        pos_ref = best_iou >= 0.5
-        matched_r = gt_boxes[best_gt]
-        diff_r = jnp.abs(box_ref - matched_r) / norm
-        sl1_r = jnp.where(diff_r < 0.11 / 4, 0.5 * diff_r ** 2 / (0.11 / 4),
-                          diff_r - 0.5 * 0.11 / 4)
-        loss_refine = loss_refine + jnp.sum(sl1_r * pos_ref[:, None])
-        num_pos_ref = num_pos_ref + jnp.sum(pos_ref)
+    # --- init stage
+    ar_i = assigners.point_assign(pts_xy, pts_lvl, gt_boxes, gt_labels,
+                                  gt_valid, scale=4.0, pos_num=1)
+    pos_i = (ar_i.assigned_gt_inds > 0).astype(jnp.float32)
+    tgt_i = gt_boxes[jnp.clip(ar_i.assigned_gt_inds - 1, 0, G - 1)]
+    sl1_i = _smooth_l1(jnp.abs(box_init - tgt_i) / norm, 0.11)
+    num_pos_i = jnp.sum(pos_i)
+    loss_init = 0.5 * jnp.sum(sl1_i * pos_i[:, None]) / jnp.maximum(
+        num_pos_i, 1.0)
 
-        onehot = jax.nn.one_hot(
-            jnp.clip(gt_labels[best_gt], 0, num_classes - 1), num_classes
-        ) * pos_ref[:, None]
-        neg = best_iou < 0.4
-        wvec = (pos_ref | neg).astype(jnp.float32)[:, None]
-        loss_cls = loss_cls + losses.sigmoid_focal_loss(
-            clsf, onehot, weight=wvec, avg_factor=1.0)
+    # --- refine stage (assign on the detached init boxes, all levels jointly)
+    ar_r = assigners.max_iou_assign(
+        jax.lax.stop_gradient(box_init), gt_boxes, gt_labels, gt_valid,
+        pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0)
+    pos_r = (ar_r.assigned_gt_inds > 0).astype(jnp.float32)
+    neg_r = ar_r.assigned_gt_inds == 0
+    tgt_r = gt_boxes[jnp.clip(ar_r.assigned_gt_inds - 1, 0, G - 1)]
+    sl1_r = _smooth_l1(jnp.abs(box_ref - tgt_r) / norm, 0.11)
+    num_pos_r = jnp.sum(pos_r)
+    denom_r = jnp.maximum(num_pos_r, 1.0)
+    loss_refine = jnp.sum(sl1_r * pos_r[:, None]) / denom_r
 
-    denom_i = jnp.maximum(num_pos_init, 1.0)
-    denom_r = jnp.maximum(num_pos_ref, 1.0)
-    return RepPointsLossOut(loss_cls / denom_r, loss_init / denom_i,
-                            loss_refine / denom_r)
+    onehot = jax.nn.one_hot(
+        jnp.clip(ar_r.labels, 0, num_classes - 1), num_classes
+    ) * pos_r[:, None]
+    wvec = jnp.maximum(pos_r, neg_r.astype(jnp.float32))[:, None]
+    loss_cls = losses.sigmoid_focal_loss(
+        clsf, onehot, weight=wvec, avg_factor=denom_r)
+
+    return RepPointsLossOut(loss_cls, loss_init, loss_refine)
 
 
 def reppoints_decode(level_outs, img_shape, num_classes, nms_pre=1000,

@@ -308,7 +308,7 @@ class TestRepPointsMomentGolden:
             moment_params=jnp.asarray(mt)))
 
         mean = pts.mean(1)   # (y, x)
-        std = pts.std(1)
+        std = pts.std(1, ddof=1)  # torch.std default is unbiased
         hw = std[:, 1] * np.exp(mt[0]) * stride
         hh = std[:, 0] * np.exp(mt[1]) * stride
         cx = centers[:, 0] + mean[:, 1] * stride
