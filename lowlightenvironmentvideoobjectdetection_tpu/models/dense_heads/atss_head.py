@@ -72,8 +72,14 @@ def atss_anchors(shapes, scale: float = 8.0):
 
 
 def atss_assign(level_anchors, gt_boxes, gt_valid, topk: int = 9):
-    """ATSS assignment. Returns (assigned_gt [A] (-1 = none), per-level
-    concatenated)."""
+    """ATSS assignment (mmdet/core/bbox/assigners/atss_assigner.py:60-154).
+    Returns assigned_gt [A] (-1 = none), per-level concatenated.
+
+    Exact semantics: EXACTLY min(topk, n_level) closest anchors per level
+    per gt form the candidate set (top_k indices, not a tie-inclusive
+    threshold); the IoU threshold is candidate mean + UNBIASED std
+    (torch.std's default ddof=1); positives additionally need the anchor
+    center strictly inside the gt by >0.01px on every side."""
     anchors = jnp.concatenate(level_anchors, axis=0)
     acx = (anchors[:, 0] + anchors[:, 2]) / 2
     acy = (anchors[:, 1] + anchors[:, 3]) / 2
@@ -82,27 +88,31 @@ def atss_assign(level_anchors, gt_boxes, gt_valid, topk: int = 9):
     dist = jnp.sqrt((acx[:, None] - gcx[None, :]) ** 2
                     + (acy[:, None] - gcy[None, :]) ** 2)  # [A, G]
     iou = box_ops.bbox_overlaps(anchors, gt_boxes)  # [A, G]
+    num_g = gt_boxes.shape[0]
 
-    # top-k closest anchors per level per gt -> candidate mask [A, G]
+    # exactly-k closest anchors per level per gt -> candidate mask [A, G]
     cand = jnp.zeros(dist.shape, bool)
     start = 0
+    k_total = 0
     for la in level_anchors:
         n = la.shape[0]
-        d = dist[start:start + n]
         k = min(topk, n)
-        thresh = -jax.lax.top_k(-d.T, k)[0][:, -1]  # kth smallest per gt [G]
-        cand = cand.at[start:start + n].set(d <= thresh[None, :])
+        k_total += k
+        _, idx = jax.lax.top_k(-dist[start:start + n].T, k)  # [G, k]
+        cand = cand.at[start + idx, jnp.arange(num_g)[:, None]].set(True)
         start += n
 
-    cand_iou = jnp.where(cand, iou, jnp.nan)
-    mean = jnp.nanmean(cand_iou, axis=0)
-    std = jnp.sqrt(jnp.nanmean((cand_iou - mean) ** 2, axis=0))
-    thr = mean + std  # [G]
+    cand_f = cand.astype(jnp.float32)
+    mean = jnp.sum(iou * cand_f, axis=0) / k_total
+    var = jnp.sum(jnp.square(iou - mean[None, :]) * cand_f, axis=0) / max(
+        k_total - 1, 1)
+    thr = mean + jnp.sqrt(var)  # [G]
 
-    inside = ((acx[:, None] > gt_boxes[None, :, 0])
-              & (acx[:, None] < gt_boxes[None, :, 2])
-              & (acy[:, None] > gt_boxes[None, :, 1])
-              & (acy[:, None] < gt_boxes[None, :, 3]))
+    inside = (jnp.minimum(
+        jnp.minimum(acx[:, None] - gt_boxes[None, :, 0],
+                    gt_boxes[None, :, 2] - acx[:, None]),
+        jnp.minimum(acy[:, None] - gt_boxes[None, :, 1],
+                    gt_boxes[None, :, 3] - acy[:, None])) > 0.01)
     pos = cand & (iou >= thr[None, :]) & inside & gt_valid[None, :]
     # each anchor takes its highest-IoU positive gt
     iou_pos = jnp.where(pos, iou, -1.0)

@@ -228,16 +228,19 @@ class TestATSSAssignGolden:
             k = min(topk, n)
             d = dist[start:start + n]
             for g in range(G):
+                # exactly k per level (torch.topk largest=False)
                 sel = np.argsort(d[:, g], kind="stable")[:k]
-                # match the implementation's <= kth-smallest semantics
-                cand[start + np.where(d[:, g] <= d[sel[-1], g])[0], g] = True
+                cand[start + sel, g] = True
             start += n
         pos = np.zeros((A, G), bool)
         for g in range(G):
             ci = ious[cand[:, g], g]
-            thr = ci.mean() + ci.std()
-            inside = ((acx > gts[g, 0]) & (acx < gts[g, 2])
-                      & (acy > gts[g, 1]) & (acy < gts[g, 3]))
+            # torch.std default is UNBIASED (ddof=1)
+            thr = ci.mean() + ci.std(ddof=1)
+            # center strictly inside the gt by > 0.01 on every side
+            inside = (np.minimum(
+                np.minimum(acx - gts[g, 0], gts[g, 2] - acx),
+                np.minimum(acy - gts[g, 1], gts[g, 3] - acy)) > 0.01)
             pos[:, g] = (cand[:, g] & (ious[:, g] >= thr) & inside
                          & valid[g])
         assigned = np.full((A,), -1, np.int64)
