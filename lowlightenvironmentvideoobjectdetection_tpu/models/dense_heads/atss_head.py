@@ -55,11 +55,14 @@ class ATSSHead(nn.Module):
 
 
 def atss_anchors(shapes, scale: float = 8.0):
-    """One square anchor per location: side = scale * stride."""
+    """One square anchor per location: side = scale * stride, centered on
+    ``x * stride`` — the ATSS/GFL/VFNet configs use AnchorGenerator's default
+    center_offset=0 (anchor_generator.py:163-164), NOT the half-cell
+    offset."""
     out = []
     for (h, w), s in zip(shapes, ATSS_STRIDES):
-        cy = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) * s
-        cx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) * s
+        cy = jnp.arange(h, dtype=jnp.float32)[:, None] * s
+        cx = jnp.arange(w, dtype=jnp.float32)[None, :] * s
         half = scale * s / 2
         a = jnp.stack([
             jnp.broadcast_to(cx - half, (h, w)),

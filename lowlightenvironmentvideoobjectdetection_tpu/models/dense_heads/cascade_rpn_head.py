@@ -47,9 +47,11 @@ class CascadeRPNHead(nn.Module):
         self.s2_reg = nn.Conv(4, (1, 1), name="s2_reg")
 
     def base_anchors(self, h, w):
-        """[h*w, 4] single square anchor per position."""
-        ys = (jnp.arange(h) + 0.5) * self.stride
-        xs = (jnp.arange(w) + 0.5) * self.stride
+        """[h*w, 4] single square anchor per position, centered on
+        ``x * stride`` (crpn config: AnchorGenerator default
+        center_offset=0)."""
+        ys = jnp.arange(h) * self.stride
+        xs = jnp.arange(w) * self.stride
         cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
         half = self.anchor_scale * self.stride / 2.0
         return jnp.stack([cx - half, cy - half, cx + half, cy + half],

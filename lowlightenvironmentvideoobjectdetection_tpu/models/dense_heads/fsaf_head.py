@@ -72,8 +72,10 @@ class FSAFLossOut(NamedTuple):
 
 
 def _centers(h, w, stride):
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    """Anchor centers at ``x * stride``: the FSAF config's 1x-stride square
+    anchors come from AnchorGenerator with default center_offset=0."""
+    ys = jnp.arange(h, dtype=jnp.float32) * stride
+    xs = jnp.arange(w, dtype=jnp.float32) * stride
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     return gx.reshape(-1), gy.reshape(-1)
 

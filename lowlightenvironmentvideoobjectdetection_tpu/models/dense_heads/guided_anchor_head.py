@@ -412,8 +412,9 @@ class CascadeRPN(nn.Module):
         """feat: [1, h, w, C] -> (cls [h*w], anchors1 [h*w, 4],
         anchors2 [h*w, 4])."""
         h, w = feat.shape[-3], feat.shape[-2]
-        cy = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) * self.stride
-        cx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) * self.stride
+        # centers at x*stride: crpn's AnchorGenerator default center_offset=0
+        cy = jnp.arange(h, dtype=jnp.float32)[:, None] * self.stride
+        cx = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride
         half = self.anchor_scale * self.stride / 2
         anchors = jnp.stack([
             jnp.broadcast_to(cx - half, (h, w)),

@@ -68,10 +68,12 @@ class SABLRetinaHead(nn.Module):
 
 
 def square_anchors(shapes, scale: float = 4.0, strides=SABL_STRIDES):
+    """Square anchors centered on ``x * stride`` (the sabl_retinanet config
+    uses AnchorGenerator's default center_offset=0)."""
     out = []
     for (h, w), s in zip(shapes, strides):
-        cy = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) * s
-        cx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) * s
+        cy = jnp.arange(h, dtype=jnp.float32)[:, None] * s
+        cx = jnp.arange(w, dtype=jnp.float32)[None, :] * s
         half = scale * s / 2
         a = jnp.stack([
             jnp.broadcast_to(cx - half, (h, w)),

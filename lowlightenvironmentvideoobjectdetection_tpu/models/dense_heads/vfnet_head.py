@@ -125,10 +125,12 @@ class VFNetLossOut(NamedTuple):
 
 
 def _points(shapes):
+    """VFNet points at ``x * stride`` (vfnet_head.py:612-616: use_atss adds
+    ``stride * anchor_center_offset`` with center_offset=0.0)."""
     pts = []
     for (h, w), s in zip(shapes, VFNET_STRIDES):
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
+        ys = jnp.arange(h, dtype=jnp.float32) * s
+        xs = jnp.arange(w, dtype=jnp.float32) * s
         gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
         pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
     return pts
