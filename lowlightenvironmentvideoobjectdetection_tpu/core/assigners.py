@@ -177,6 +177,85 @@ def point_assign(
     return AssignResult(assigned, jnp.zeros((num_p,), jnp.float32), labels)
 
 
+def center_region_assign(
+    boxes: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    pos_scale: float,
+    neg_scale: float,
+    min_pos_iof: float = 1e-2,
+):
+    """CenterRegionAssigner (mmdet/core/bbox/assigners/
+    center_region_assigner.py:71-254), static-shape. Used by FSAF
+    (pos_scale=neg_scale=0.2, min_pos_iof=0.01).
+
+    A prior box is a positive candidate of a gt when its CENTER lies strictly
+    inside the (full) gt box AND its IoF with the gt's pos_scale-shrunk core
+    region exceeds ``min_pos_iof``; overlaps go to the smallest-area gt
+    (get_gt_priorities). Shadow pairs — (box, gt) pairs whose IoF with the
+    neg_scale region passes the threshold but that are not that gt's core
+    positives, plus core pairs lost to a higher-priority gt — have the gt's
+    class channel zeroed in the consumer's classification loss. A positive
+    box that is simultaneously shadowed by another gt of the SAME class is
+    demoted to background (foreground_dominate=False default, :239-247).
+
+    Returns (AssignResult, shadowed [N, G] bool). assigned_gt_inds encoding:
+    0 = negative, k>0 = gt k-1 (the gt_bboxes_ignore path, unused by the
+    reference's FSAF config, is not modeled).
+    """
+    num_g = gt_boxes.shape[0]
+
+    def _scale(b, s):
+        c = (b[:, :2] + b[:, 2:]) / 2
+        half = (b[:, 2:] - b[:, :2]) / 2 * s
+        return jnp.concatenate([c - half, c + half], axis=-1)
+
+    ctr = (boxes[:, :2] + boxes[:, 2:]) / 2
+    area_box = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+
+    def _iof(regions):  # [N, G] intersection / box area
+        ix1 = jnp.maximum(boxes[:, None, 0], regions[None, :, 0])
+        iy1 = jnp.maximum(boxes[:, None, 1], regions[None, :, 1])
+        ix2 = jnp.minimum(boxes[:, None, 2], regions[None, :, 2])
+        iy2 = jnp.minimum(boxes[:, None, 3], regions[None, :, 3])
+        inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+        return inter / jnp.maximum(area_box[:, None], 1e-6)
+
+    in_gt = ((ctr[:, None, 0] > gt_boxes[None, :, 0])
+             & (ctr[:, None, 0] < gt_boxes[None, :, 2])
+             & (ctr[:, None, 1] > gt_boxes[None, :, 1])
+             & (ctr[:, None, 1] < gt_boxes[None, :, 3]))
+    in_core = (in_gt & (_iof(_scale(gt_boxes, pos_scale)) > min_pos_iof)
+               & gt_valid[None, :])
+    in_shadow = ((_iof(_scale(gt_boxes, neg_scale)) > min_pos_iof)
+                 & ~in_core & gt_valid[None, :])
+
+    # smaller gt area -> higher priority (get_gt_priorities :107-123)
+    areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    order = jnp.argsort(-areas)  # descending area
+    prio = jnp.zeros((num_g,), jnp.int32).at[order].set(
+        jnp.arange(num_g, dtype=jnp.int32))
+    pair_pr = jnp.where(in_core, prio[None, :], -1)
+    best = jnp.argmax(pair_pr, axis=1)  # unique ranks -> no ties
+    matched = jnp.any(in_core, axis=1)
+    assigned = jnp.where(matched, best.astype(jnp.int32) + 1, 0)
+    chosen = (jnp.arange(num_g)[None, :] == best[:, None]) & matched[:, None]
+    shadowed = in_shadow | (in_core & ~chosen)
+    labels = jnp.where(
+        matched, gt_labels[jnp.clip(best, 0, num_g - 1)], -1
+    ).astype(jnp.int32)
+
+    # demote positives shadowed by a same-class gt (override, :239-247)
+    same_lab = shadowed & (gt_labels[None, :] == labels[:, None]) & matched[:, None]
+    override = jnp.any(same_lab, axis=1)
+    assigned = jnp.where(override, 0, assigned)
+    labels = jnp.where(override, -1, labels)
+    result = AssignResult(assigned, jnp.zeros_like(area_box), labels)
+    return result, shadowed
+
+
 def _rank_by_random(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     """Random rank (0-based) of each True element among True elements; large
     rank for False elements."""

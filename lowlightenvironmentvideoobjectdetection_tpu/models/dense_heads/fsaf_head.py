@@ -4,14 +4,17 @@ Parity target: mmdetection/mmdet/models/dense_heads/fsaf_head.py:15-422 and
 configs/fsaf/fsaf_r50_fpn_1x_coco.py:
 - RetinaNet tower with ONE anchor per cell (octave_base_scale=1, ratios [1]);
 - relu on the reg branch (TBLR distances must be positive, fsaf_head.py:60);
-- CenterRegionAssigner(pos_scale=0.2): a cell is a positive candidate for a
-  gt when its center lies inside the 0.2-shrunk gt box; the smallest-area
-  gt wins overlaps;
-- TBLRBBoxCoder(normalizer=4): targets = (t,b,l,r) / (4 * stride);
-- element-wise focal cls + IoU reg losses, then ONLINE LEVEL SELECTION
-  (fsaf_head.py:340-422): per (gt, level) mean loss over that gt's
-  candidates, each gt keeps only its argmin level; candidates of other
-  levels are zeroed out of both losses.
+- CenterRegionAssigner(pos_scale=.2, neg_scale=.2, min_pos_iof=.01), joint
+  over levels: positive = center strictly in gt AND anchor-box IoF with the
+  0.2 core > .01, smallest-area gt wins; shadow pairs zero the gt's class
+  channel, same-class-shadowed positives demote to background;
+- TBLRBBoxCoder(normalizer=4): targets = (t,b,l,r) / (4 * stride); preds
+  clamped at 1e-4 before decode;
+- element-wise focal cls + -log(IoU) reg losses, then ONLINE LEVEL SELECTION
+  (fsaf_head.py:262-291, 371-422): per (gt, level) mean loss over that gt's
+  positives, each gt keeps only its argmin level; positives of other levels
+  lose the reg loss and their own label's cls channel; averaged by the
+  post-selection positive count.
 
 TPU-native: the per-gt loops become [P, G] masks and segment means; the
 level selection is a [L, G] argmin — all fused, no host sync.
@@ -88,94 +91,114 @@ def _tblr_decode(px, py, pred, stride, normalizer=4.0):
 
 
 def fsaf_loss(level_outs, gt_boxes, gt_labels, gt_valid, num_classes,
-              pos_scale: float = 0.2, normalizer: float = 4.0) -> FSAFLossOut:
-    G = gt_boxes.shape[0]
-    L = len(level_outs)
-    per_level_cls, per_level_reg = [], []
-    per_level_gt_loss = []  # [L, G]
-    cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
-    cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
-    hw = (gt_boxes[:, 2] - gt_boxes[:, 0]) / 2
-    hh = (gt_boxes[:, 3] - gt_boxes[:, 1]) / 2
-    shrunk = jnp.stack([cx - pos_scale * hw, cy - pos_scale * hh,
-                        cx + pos_scale * hw, cy + pos_scale * hh], axis=-1)
-    areas = jnp.maximum(hw, 0) * jnp.maximum(hh, 0)
+              pos_scale: float = 0.2, neg_scale: float = 0.2,
+              normalizer: float = 4.0) -> FSAFLossOut:
+    """Exact FSAF loss (fsaf_head.py:177-422 + fsaf_r50 config):
 
-    total_cls = 0.0
-    total_reg = 0.0
-    num_pos_total = 0.0
-    state = []
+    - joint CenterRegionAssigner (.2/.2, min_pos_iof .01) over the 1x-stride
+      square anchors of ALL levels: positives need center-in-gt AND
+      anchor-box IoF with the 0.2 core > 0.01, smallest-area gt wins;
+      shadow pairs get their gt's class channel zeroed in the focal loss,
+      same-class-shadowed positives are demoted (core/assigners.py
+      center_region_assign);
+    - element-wise sigmoid focal (alpha .25 gamma 2) and -log(IoU) on the
+      TBLR decode of the clamped (min 1e-4, fsaf loss():202-204) preds;
+    - ONLINE LEVEL SELECTION (:262-291): per (gt, level) MEAN of
+      (cls.sum(classes) + reg) over that gt's positives — computed on the
+      shadow-weighted element losses — 1e6 where none; each gt keeps only
+      its argmin level, positives of other levels lose their reg loss and
+      their own label's cls channel (:371-422);
+    - both sums averaged by the post-selection positive count
+      (num_total_neg fallback when zero, :293-297).
+    """
+    from ...core import assigners
+
+    G = gt_boxes.shape[0]
+    cls_l, reg_l, anc_l, px_l, py_l, lvl_sizes = [], [], [], [], [], []
     for li, (cls, reg) in enumerate(level_outs):
         h, w = cls.shape[-3], cls.shape[-2]
-        stride = FSAF_STRIDES[li]
+        stride = float(FSAF_STRIDES[li])
         px, py = _centers(h, w, stride)
-        inside = (
-            (px[:, None] >= shrunk[None, :, 0])
-            & (px[:, None] <= shrunk[None, :, 2])
-            & (py[:, None] >= shrunk[None, :, 1])
-            & (py[:, None] <= shrunk[None, :, 3])
-            & gt_valid[None, :]
-        )  # [P, G]
-        area_m = jnp.where(inside, areas[None, :], 1e18)
-        best = jnp.argmin(area_m, axis=1)  # [P]
-        pos = jnp.any(inside, axis=1)
-        lab = jnp.where(pos, gt_labels[best], num_classes)
+        cls_l.append(cls.reshape(-1, num_classes).astype(jnp.float32))
+        # reference clamps the (relu'd) distances at 1e-4 before decode
+        reg_l.append(jnp.maximum(reg.reshape(-1, 4), 1e-4))
+        anc_l.append(jnp.stack([px - stride / 2, py - stride / 2,
+                                px + stride / 2, py + stride / 2], axis=-1))
+        px_l.append(px)
+        py_l.append(py)
+        lvl_sizes.append(px.shape[0])
 
-        clsf = cls.reshape(-1, num_classes).astype(jnp.float32)
-        regf = reg.reshape(-1, 4)
-        onehot = jax.nn.one_hot(jnp.clip(lab, 0, num_classes - 1),
-                                num_classes) * pos[:, None]
-        # element-wise focal (reduction='none' in the reference)
-        p = jax.nn.sigmoid(clsf)
-        pt = jnp.where(onehot > 0, p, 1 - p)
-        alpha_t = jnp.where(onehot > 0, 0.25, 0.75)
-        ce = -jnp.log(jnp.clip(pt, 1e-8))
-        cls_elem = alpha_t * ((1 - pt) ** 2.0) * ce  # [P, C]
+    clsf = jnp.concatenate(cls_l)        # [A, C]
+    anchors = jnp.concatenate(anc_l)     # [A, 4]
+    lvl_of = jnp.concatenate([
+        jnp.full((n,), li, jnp.int32) for li, n in enumerate(lvl_sizes)])
 
-        # IoU loss between decoded TBLR boxes and the matched gt
-        dec = _tblr_decode(px, py, regf, stride, normalizer)
-        gb = gt_boxes[best]
-        ix1 = jnp.maximum(dec[:, 0], gb[:, 0])
-        iy1 = jnp.maximum(dec[:, 1], gb[:, 1])
-        ix2 = jnp.minimum(dec[:, 2], gb[:, 2])
-        iy2 = jnp.minimum(dec[:, 3], gb[:, 3])
-        inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
-        a1 = jnp.maximum(dec[:, 2] - dec[:, 0], 0) * jnp.maximum(
-            dec[:, 3] - dec[:, 1], 0)
-        a2 = jnp.maximum(gb[:, 2] - gb[:, 0], 0) * jnp.maximum(
-            gb[:, 3] - gb[:, 1], 0)
-        iou = inter / jnp.maximum(a1 + a2 - inter, 1e-6)
-        reg_elem = -jnp.log(jnp.clip(iou, 1e-6))  # [P]
+    ar, shadowed = assigners.center_region_assign(
+        anchors, gt_boxes, gt_labels, gt_valid, pos_scale, neg_scale)
+    pos = ar.assigned_gt_inds > 0
+    best = jnp.clip(ar.assigned_gt_inds - 1, 0, G - 1)
+    lab = jnp.where(pos, ar.labels, num_classes)
 
-        # per-gt mean candidate loss on this level (collect_loss_level)
-        elem = jnp.sum(cls_elem, axis=-1) + reg_elem  # [P]
-        member = inside & (best[:, None] == jnp.arange(G)[None, :])
-        cnt = jnp.sum(member, axis=0)
-        gt_loss = jnp.where(
-            cnt > 0,
-            jnp.sum(elem[:, None] * member, axis=0) / jnp.maximum(cnt, 1),
-            1e6,
-        )  # [G]
-        per_level_gt_loss.append(gt_loss)
-        state.append((cls_elem, reg_elem, pos, best, lab))
+    onehot = jax.nn.one_hot(jnp.clip(lab, 0, num_classes - 1),
+                            num_classes) * pos[:, None]
+    # element-wise focal (reduction='none'), numerically stable BCE
+    ce = (jnp.maximum(clsf, 0) - clsf * onehot
+          + jnp.log1p(jnp.exp(-jnp.abs(clsf))))
+    p = jax.nn.sigmoid(clsf)
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    alpha_t = 0.25 * onehot + 0.75 * (1 - onehot)
+    cls_elem = alpha_t * ((1 - pt) ** 2.0) * ce  # [A, C]
+    # shadow pairs zero the pair's gt class channel (label_weights[idx, c]=0)
+    shadow_ch = (shadowed.astype(jnp.float32)
+                 @ jax.nn.one_hot(jnp.clip(gt_labels, 0, num_classes - 1),
+                                  num_classes)) > 0  # [A, C]
+    cls_w = jnp.where(shadow_ch, 0.0, 1.0)
+    cls_elem = cls_elem * cls_w
 
-    level_loss = jnp.stack(per_level_gt_loss)  # [L, G]
+    # -log IoU of the decoded TBLR boxes vs the matched gt (pos only)
+    dec_l = []
+    off = 0
+    for li, n in enumerate(lvl_sizes):
+        dec_l.append(_tblr_decode(px_l[li], py_l[li],
+                                  jnp.concatenate(reg_l)[off:off + n],
+                                  float(FSAF_STRIDES[li]), normalizer))
+        off += n
+    dec = jnp.concatenate(dec_l)
+    gb = gt_boxes[best]
+    ix1 = jnp.maximum(dec[:, 0], gb[:, 0])
+    iy1 = jnp.maximum(dec[:, 1], gb[:, 1])
+    ix2 = jnp.minimum(dec[:, 2], gb[:, 2])
+    iy2 = jnp.minimum(dec[:, 3], gb[:, 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    a1 = jnp.maximum(dec[:, 2] - dec[:, 0], 0) * jnp.maximum(
+        dec[:, 3] - dec[:, 1], 0)
+    a2 = jnp.maximum(gb[:, 2] - gb[:, 0], 0) * jnp.maximum(
+        gb[:, 3] - gb[:, 1], 0)
+    iou = inter / jnp.maximum(a1 + a2 - inter, 1e-6)
+    reg_elem = -jnp.log(jnp.clip(iou, 1e-6)) * pos  # [A]
+
+    # online level selection: per-(level, gt) mean of the weighted elem loss
+    elem = jnp.sum(cls_elem, axis=-1) + reg_elem  # [A]
+    member = (pos[:, None] & (best[:, None] == jnp.arange(G)[None, :]))
+    L = len(level_outs)
+    lvl_onehot = jax.nn.one_hot(lvl_of, L, dtype=jnp.float32)  # [A, L]
+    cnt = jnp.einsum("al,ag->lg", lvl_onehot, member.astype(jnp.float32))
+    tot = jnp.einsum("al,ag->lg", lvl_onehot,
+                     member.astype(jnp.float32) * elem[:, None])
+    level_loss = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1), 1e6)  # [L, G]
     min_level = jnp.argmin(level_loss, axis=0)  # [G]
 
-    for li, (cls_elem, reg_elem, pos, best, lab) in enumerate(state):
-        keep = pos & (min_level[best] == li)  # winning-level positives
-        demoted = pos & ~keep
-        # demoted candidates: zero that label's cls weight + reg weight
-        cls_w = jnp.ones_like(cls_elem)
-        onehot_dem = jax.nn.one_hot(
-            jnp.clip(lab, 0, cls_elem.shape[-1] - 1), cls_elem.shape[-1]
-        ) * demoted[:, None]
-        cls_w = cls_w * (1.0 - onehot_dem)
-        total_cls = total_cls + jnp.sum(cls_elem * cls_w)
-        total_reg = total_reg + jnp.sum(reg_elem * keep)
-        num_pos_total = num_pos_total + jnp.sum(keep)
+    keep = pos & (min_level[best] == lvl_of)
+    demoted = pos & ~keep
+    onehot_dem = jax.nn.one_hot(
+        jnp.clip(lab, 0, num_classes - 1), num_classes) * demoted[:, None]
+    total_cls = jnp.sum(cls_elem * (1.0 - onehot_dem))
+    total_reg = jnp.sum(reg_elem * keep)
+    num_pos = jnp.sum(keep)
 
-    denom = jnp.maximum(num_pos_total, 1.0)
+    denom = jnp.where(num_pos > 0, num_pos,
+                      num_pos + jnp.sum(ar.assigned_gt_inds == 0))
+    denom = jnp.maximum(denom, 1.0).astype(jnp.float32)
     return FSAFLossOut(total_cls / denom, total_reg / denom)
 
 
