@@ -27,7 +27,11 @@ from ...core import boxes as box_ops, losses, nms as nms_ops
 from ..backbones.resnet import ResNet
 from ..necks.fpn import FPN
 
-YOLACT_STRIDES = (8, 16, 32, 64, 128)
+# yolact_r50 config: grid strides are the NON-INTEGER 550/featmap values
+# (yolact config strides=[550/x for x in (69, 35, 18, 9, 5)]) while the
+# anchor base sizes stay the power-of-two base_sizes=[8..128]
+YOLACT_STRIDES = tuple(550.0 / x for x in (69, 35, 18, 9, 5))
+YOLACT_BASE_SIZES = (8, 16, 32, 64, 128)
 NUM_PROTOS = 32
 
 
@@ -116,15 +120,20 @@ class YOLACT(nn.Module):
                 self.segm_head(fpn[0]))
 
 
-def yolact_anchors(shapes, strides=YOLACT_STRIDES):
-    """3 anchors/cell, ratios (1, 1/2, 2), octave scale 3 (yolact config)."""
+def yolact_anchors(shapes, strides=YOLACT_STRIDES,
+                   base_sizes=YOLACT_BASE_SIZES):
+    """3 anchors/cell in the reference's ratio ORDER (0.5, 1, 2) — the
+    per-anchor prediction channels follow generator order — sized
+    octave_base_scale(3) * base_size (decoupled from the fractional grid
+    stride), centered at (x + 0.5) * stride (explicit centers= in the
+    config)."""
     out = []
-    for (h, w), s in zip(shapes, strides):
+    for (h, w), s, bs in zip(shapes, strides, base_sizes):
         cy = (jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5) * s
         cx = (jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5) * s
         anchors = []
-        for r in (1.0, 0.5, 2.0):
-            base = 3.0 * s
+        for r in (0.5, 1.0, 2.0):
+            base = 3.0 * bs
             aw = base * jnp.sqrt(1.0 / r)
             ah = base * jnp.sqrt(r)
             anchors.append((aw, ah))
@@ -160,11 +169,12 @@ class YOLACTLossOut(NamedTuple):
 
 def yolact_loss(level_outs, protos, segm, gt_boxes, gt_labels, gt_valid,
                 gt_masks, img_shape, num_classes,
-                neg_pos_ratio: int = 3) -> YOLACTLossOut:
+                neg_pos_ratio: int = 3, strides=YOLACT_STRIDES,
+                base_sizes=YOLACT_BASE_SIZES) -> YOLACTLossOut:
     """CE cls w/ OHEM negatives + SmoothL1 box + prototype-mask BCE +
     semantic aux BCE (yolact_head.py loss/loss_single + protonet loss)."""
     shapes = [(c.shape[-3], c.shape[-2]) for c, _, _ in level_outs]
-    level_anchors = yolact_anchors(shapes)
+    level_anchors = yolact_anchors(shapes, strides, base_sizes)
     anchors = jnp.concatenate(level_anchors, axis=0)
     C1 = num_classes + 1
     cls_all = jnp.concatenate(
@@ -238,11 +248,12 @@ def yolact_loss(level_outs, protos, segm, gt_boxes, gt_labels, gt_valid,
 
 def yolact_detect(level_outs, protos, img_shape, num_classes, nms_pre=1000,
                   score_thr=0.05, iou_threshold=0.5, max_per_img=100,
-                  scale_factor=None):
+                  scale_factor=None, strides=YOLACT_STRIDES,
+                  base_sizes=YOLACT_BASE_SIZES):
     """Decode boxes (softmax cls, NMS) and assemble cropped instance masks.
     Returns (DetResult, masks [max_per_img, ph, pw])."""
     shapes = [(c.shape[-3], c.shape[-2]) for c, _, _ in level_outs]
-    level_anchors = yolact_anchors(shapes)
+    level_anchors = yolact_anchors(shapes, strides, base_sizes)
     C1 = num_classes + 1
     all_b, all_s, all_l, all_k = [], [], [], []
     for (cls, reg, coef), anc in zip(level_outs, level_anchors):

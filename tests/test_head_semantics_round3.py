@@ -142,16 +142,19 @@ class TestYolactLossDescent:
         def lf(p):
             level_outs, protos, segm = model.apply(p, imgs)
             flat = [(c[0], r[0], k[0]) for c, r, k in level_outs]
+            # integer strides sized for the 128px fixture (the reference
+            # default strides are calibrated to 550px inputs)
             l = Y.yolact_loss(flat, protos, segm[0], gt_b, gt_l, gt_v, gt_m,
-                              (128, 128), 4)
+                              (128, 128), 4, strides=(8, 16, 32, 64, 128),
+                              base_sizes=(8, 16, 32, 64, 128))
             return sum(jnp.asarray(v) for v in l)
 
         step = jax.jit(lambda p: (lf(p), jax.grad(lf)(p)))
         losses = []
-        for _ in range(5):
+        for _ in range(8):
             l, g = step(params)
             losses.append(float(l))
-            params = jax.tree.map(lambda a, b: a - 1e-3 * b, params, g)
+            params = jax.tree.map(lambda a, b: a - 3e-4 * b, params, g)
         assert losses[-1] < losses[0], losses
 
 
