@@ -194,67 +194,107 @@ class YoloLossOut(NamedTuple):
 
 
 def yolo_loss(level_preds, gt_boxes, gt_labels, gt_valid, num_classes,
-              neg_iou_thr: float = 0.5) -> YoloLossOut:
-    """Grid-cell assignment: each valid gt supervises the best-IoU anchor in
-    its center cell at every level (mmdet GridAssigner semantics simplified);
-    anchors overlapping any gt above ``neg_iou_thr`` are excluded from the
-    negative objectness loss."""
-    loss_cls = loss_conf = loss_xy = loss_wh = 0.0
+              pos_iou_thr: float = 0.5, neg_iou_thr: float = 0.5,
+              min_pos_iou: float = 0.0) -> YoloLossOut:
+    """Exact GridAssigner semantics (mmdet/core/bbox/assigners/
+    grid_assigner.py:42-156 + yolo_head.py:400-560), joint over levels:
+
+    1. every anchor box whose max IoU over valid gts <= neg_iou_thr is a
+       NEGATIVE; anchors above it start as ignored (-1);
+    2. "responsible" anchors — those in the grid cell containing some gt's
+       center at their level (anchor_generator.py:692-728) — with
+       responsible-restricted max IoU > pos_iou_thr become positives of
+       their argmax gt;
+    3. each gt claims the responsible anchor(s) tying its best restricted
+       IoU when it exceeds min_pos_iou, in ascending gt order (later gt
+       overrides) — ONE winner per gt across all levels, not one per level;
+    4. targets via YOLOBBoxCoder (yolo_bbox_coder.py:26-59): xy = cell
+       offset + 0.5 clamped to [1e-6, 1-1e-6], wh = log(gt/anchor) clamped;
+    5. losses are the config's UNNORMALIZED SUMS (reduction='sum') with
+       loss weights cls 1 / conf 1 / xy 2 / wh 2; conf BCE runs over
+       positives + negatives (ignored anchors excluded).
+    """
+    G = gt_boxes.shape[0]
+    gx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
+    gy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
+    gw = gt_boxes[:, 2] - gt_boxes[:, 0]
+    gh = gt_boxes[:, 3] - gt_boxes[:, 1]
+
+    p_l, anc_l, resp_l, stride_l = [], [], [], []
     for pred, anchors, stride in zip(level_preds, YOLO_ANCHORS, YOLO_STRIDES):
         p, h, w = _level_grid(pred.astype(jnp.float32), num_classes)
+        p_l.append(p.reshape(-1, 5 + num_classes))
         aw = jnp.asarray([a[0] for a in anchors], jnp.float32)
         ah = jnp.asarray([a[1] for a in anchors], jnp.float32)
+        acx = (jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5) * stride
+        acy = (jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5) * stride
+        anc = jnp.stack([
+            jnp.broadcast_to(acx - aw / 2, (h, w, 3)),
+            jnp.broadcast_to(acy - ah / 2, (h, w, 3)),
+            jnp.broadcast_to(acx + aw / 2, (h, w, 3)),
+            jnp.broadcast_to(acy + ah / 2, (h, w, 3)),
+        ], axis=-1)
+        anc_l.append(anc.reshape(-1, 4))
+        # responsible: the anchor's cell holds some valid gt's center
+        ci = jnp.floor(gx / stride).astype(jnp.int32)  # [G]
+        cj = jnp.floor(gy / stride).astype(jnp.int32)
+        cell_x = jnp.arange(w)[None, :, None]
+        cell_y = jnp.arange(h)[:, None, None]
+        r = jnp.any(
+            (cell_x[..., None] == ci) & (cell_y[..., None] == cj)
+            & gt_valid, axis=-1)  # [h, w, 1]
+        resp_l.append(jnp.broadcast_to(r, (h, w, 3)).reshape(-1))
+        stride_l.append(jnp.full((h * w * 3,), float(stride), jnp.float32))
 
-        gx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
-        gy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
-        gw = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 1e-3)
-        gh = jnp.maximum(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-3)
-        ci = jnp.clip((gx / stride).astype(jnp.int32), 0, w - 1)
-        cj = jnp.clip((gy / stride).astype(jnp.int32), 0, h - 1)
-        # best anchor by wh-IoU
-        inter = jnp.minimum(gw[:, None], aw[None]) * jnp.minimum(gh[:, None], ah[None])
-        union = gw[:, None] * gh[:, None] + aw[None] * ah[None] - inter
-        best_a = jnp.argmax(inter / union, axis=1)  # [G]
+    p = jnp.concatenate(p_l)           # [A, 5+C]
+    anchors = jnp.concatenate(anc_l)   # [A, 4]
+    resp = jnp.concatenate(resp_l)     # [A]
+    stride_of = jnp.concatenate(stride_l)
 
-        pos_mask = jnp.zeros((h, w, 3), bool)
-        tgt_xy = jnp.zeros((h, w, 3, 2))
-        tgt_wh = jnp.zeros((h, w, 3, 2))
-        tgt_cls = jnp.zeros((h, w, 3, num_classes))
-        for_g = jnp.arange(gt_boxes.shape[0])
-        pos_mask = pos_mask.at[cj, ci, best_a].max(gt_valid)
-        tgt_xy = tgt_xy.at[cj, ci, best_a].set(
-            jnp.stack([gx / stride - ci, gy / stride - cj], -1)
-        )
-        tgt_wh = tgt_wh.at[cj, ci, best_a].set(
-            jnp.stack([jnp.log(gw / aw[best_a]), jnp.log(gh / ah[best_a])], -1)
-        )
-        tgt_cls = tgt_cls.at[cj, ci, best_a].set(
-            jax.nn.one_hot(gt_labels, num_classes) * gt_valid[:, None]
-        )
-        del for_g
+    iou = box_ops.bbox_overlaps(gt_boxes, anchors)  # [G, A]
+    ov_neg = jnp.where(gt_valid[:, None], iou, 0.0)
+    max_all = jnp.max(ov_neg, axis=0) if G else jnp.zeros(anchors.shape[0])
+    assigned = jnp.where(max_all <= neg_iou_thr, 0, -1)
 
-        pos = pos_mask.astype(jnp.float32)
-        num_pos = jnp.maximum(jnp.sum(pos), 1.0)
-        # negatives: cells not overlapping gts strongly
-        boxes, conf_s, _ = yolo_decode_level(
-            pred, anchors, stride, num_classes, (10**9, 10**9)
-        )
-        ious = box_ops.bbox_overlaps(boxes, gt_boxes)
-        ious = jnp.where(gt_valid[None, :], ious, 0.0)
-        max_iou = jnp.max(ious, axis=1).reshape(h, w, 3)
-        neg = ((max_iou < neg_iou_thr) & ~pos_mask).astype(jnp.float32)
+    ov_pos = jnp.where(gt_valid[:, None] & resp[None, :], iou, -1.0)
+    max_r = jnp.max(ov_pos, axis=0)
+    arg_r = jnp.argmax(ov_pos, axis=0).astype(jnp.int32)
+    step3 = (max_r > pos_iou_thr) & resp
+    assigned = jnp.where(step3, arg_r + 1, assigned)
 
-        conf_logit = p[..., 4]
-        loss_conf += losses.binary_cross_entropy(
-            conf_logit, pos, weight=pos + neg, avg_factor=num_pos
-        )
-        loss_xy += losses.binary_cross_entropy(
-            p[..., 0:2], tgt_xy, weight=pos[..., None], avg_factor=num_pos
-        )
-        loss_wh += losses.mse_loss(
-            p[..., 2:4], tgt_wh, weight=pos[..., None], avg_factor=num_pos
-        )
-        loss_cls += losses.binary_cross_entropy(
-            p[..., 5:], tgt_cls, weight=pos[..., None], avg_factor=num_pos
-        )
+    gt_max = jnp.max(ov_pos, axis=1)  # [G]
+
+    def body(g, acc):
+        claim = (ov_pos[g] == gt_max[g]) & (gt_max[g] > min_pos_iou)
+        return jnp.where(claim, g + 1, acc)
+
+    assigned = jax.lax.fori_loop(0, G, body, assigned)
+
+    pos = (assigned > 0).astype(jnp.float32)
+    neg = (assigned == 0).astype(jnp.float32)
+    best = jnp.clip(assigned - 1, 0, G - 1)
+
+    # YOLOBBoxCoder targets against each positive's own anchor
+    acx = (anchors[:, 0] + anchors[:, 2]) / 2
+    acy = (anchors[:, 1] + anchors[:, 3]) / 2
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    eps = 1e-6
+    tx = jnp.clip((gx[best] - acx) / stride_of + 0.5, eps, 1 - eps)
+    ty = jnp.clip((gy[best] - acy) / stride_of + 0.5, eps, 1 - eps)
+    tw = jnp.log(jnp.maximum(gw[best] / aw, eps))
+    th = jnp.log(jnp.maximum(gh[best] / ah, eps))
+    tgt_xy = jnp.stack([tx, ty], axis=-1)
+    tgt_wh = jnp.stack([tw, th], axis=-1)
+    tgt_cls = jax.nn.one_hot(
+        jnp.clip(gt_labels[best], 0, num_classes - 1), num_classes)
+
+    def bce(logit, tgt):
+        return (jnp.maximum(logit, 0) - logit * tgt
+                + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+
+    loss_conf = jnp.sum(bce(p[:, 4], pos) * (pos + neg))
+    loss_xy = 2.0 * jnp.sum(bce(p[:, 0:2], tgt_xy) * pos[:, None])
+    loss_wh = 2.0 * jnp.sum(jnp.square(p[:, 2:4] - tgt_wh) * pos[:, None])
+    loss_cls = jnp.sum(bce(p[:, 5:], tgt_cls) * pos[:, None])
     return YoloLossOut(loss_cls, loss_conf, loss_xy, loss_wh)

@@ -5,10 +5,10 @@
   (mmdetection/mmdet/models/dense_heads/fcos_head.py:221-300) — per-point
   candidate gts by inside-box + regress-range on max(ltrb), min-area wins;
   centerness target formula (fcos_head.py:302-315).
-- YOLOv3: the documented grid-cell contract (each valid gt supervises the
-  best wh-IoU anchor of its center cell; tx/ty are cell-relative offsets,
-  tw/th log size ratios; >neg_iou_thr anchors leave the negative set) —
-  checked against a per-gt numpy loop to catch scatter/index/axis bugs.
+- YOLOv3: independent numpy transcription of the full GridAssigner
+  (mmdet/core/bbox/assigners/grid_assigner.py:42-156) + YOLOBBoxCoder
+  targets + the config's unnormalized sum losses (weights 1/1/2/2) —
+  full expected-loss equality on random fixtures.
 """
 
 from __future__ import annotations
@@ -110,94 +110,140 @@ class TestFCOSTargetGolden:
 
 
 class TestYoloTargets:
-    def _one_level(self, gts, labels, valid, num_classes=4):
-        """Run yolo_loss on a single level with crafted logits and recover
-        the positive mask/targets through loss gradients is indirect;
-        instead re-derive the scatter from the documented contract and
-        check the loss responds exactly to it."""
+    @staticmethod
+    def _np_yolo_loss(level_preds, gts, labels, valid, num_classes,
+                      pos_thr=0.5, neg_thr=0.5, min_pos_iou=0.0):
+        """Numpy transcription: GridAssigner over the concatenated levels
+        (anchors at cell centers, responsible = gt-center cells), YOLO coder
+        targets, sum losses."""
         from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.yolov3 import (
-            YOLO_ANCHORS, YOLO_STRIDES, yolo_loss,
-        )
-        return YOLO_ANCHORS, YOLO_STRIDES, yolo_loss
+            YOLO_ANCHORS, YOLO_STRIDES)
 
-    def test_perfect_prediction_zeroes_xy_wh_loss(self):
+        anchors, resp, strides, preds = [], [], [], []
+        for pred, ancs, s in zip(level_preds, YOLO_ANCHORS, YOLO_STRIDES):
+            h, w = pred.shape[0], pred.shape[1]
+            preds.append(np.asarray(pred).reshape(h, w, 3, -1).reshape(
+                -1, 5 + num_classes))
+            for j in range(h):
+                for i in range(w):
+                    cell_resp = False
+                    for g in range(gts.shape[0]):
+                        if not valid[g]:
+                            continue
+                        gcx = (gts[g, 0] + gts[g, 2]) / 2
+                        gcy = (gts[g, 1] + gts[g, 3]) / 2
+                        if (int(np.floor(gcx / s)) == i
+                                and int(np.floor(gcy / s)) == j):
+                            cell_resp = True
+                    for (aw, ah) in ancs:
+                        cx, cy = (i + 0.5) * s, (j + 0.5) * s
+                        anchors.append([cx - aw / 2, cy - ah / 2,
+                                        cx + aw / 2, cy + ah / 2])
+                        resp.append(cell_resp)
+                        strides.append(s)
+        anchors = np.asarray(anchors, np.float64)
+        resp = np.asarray(resp)
+        strides = np.asarray(strides, np.float64)
+        preds = np.concatenate(preds).astype(np.float64)
+        A, G = anchors.shape[0], gts.shape[0]
+
+        def iou(a, b):
+            ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
+            iy1 = np.maximum(a[:, None, 1], b[None, :, 1])
+            ix2 = np.minimum(a[:, None, 2], b[None, :, 2])
+            iy2 = np.minimum(a[:, None, 3], b[None, :, 3])
+            inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+            aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+            bb = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            return inter / np.maximum(aa[:, None] + bb[None, :] - inter, 1e-6)
+
+        ov = iou(np.asarray(gts, np.float64), anchors)  # [G, A]
+        ov_valid = np.where(np.asarray(valid)[:, None], ov, 0.0)
+        assigned = np.full(A, -1, np.int64)
+        max_all = ov_valid.max(0) if G else np.zeros(A)
+        assigned[max_all <= neg_thr] = 0
+        ov_r = np.where(np.asarray(valid)[:, None] & resp[None, :], ov, -1.0)
+        max_r, arg_r = ov_r.max(0), ov_r.argmax(0)
+        sel = (max_r > pos_thr) & resp
+        assigned[sel] = arg_r[sel] + 1
+        for g in range(G):
+            gm = ov_r[g].max()
+            if gm > min_pos_iou:
+                assigned[(ov_r[g] == gm)] = g + 1
+
+        pos = assigned > 0
+        neg = assigned == 0
+        best = np.clip(assigned - 1, 0, max(G - 1, 0))
+        acx = (anchors[:, 0] + anchors[:, 2]) / 2
+        acy = (anchors[:, 1] + anchors[:, 3]) / 2
+        aw = anchors[:, 2] - anchors[:, 0]
+        ah = anchors[:, 3] - anchors[:, 1]
+        gcx = (gts[:, 0] + gts[:, 2]) / 2
+        gcy = (gts[:, 1] + gts[:, 3]) / 2
+        gw = gts[:, 2] - gts[:, 0]
+        gh = gts[:, 3] - gts[:, 1]
+        eps = 1e-6
+        tx = np.clip((gcx[best] - acx) / strides + 0.5, eps, 1 - eps)
+        ty = np.clip((gcy[best] - acy) / strides + 0.5, eps, 1 - eps)
+        tw = np.log(np.maximum(gw[best] / aw, eps))
+        th = np.log(np.maximum(gh[best] / ah, eps))
+        tcls = np.eye(num_classes)[np.clip(labels[best], 0, num_classes - 1)]
+
+        def bce(z, t):
+            return np.maximum(z, 0) - z * t + np.log1p(np.exp(-np.abs(z)))
+
+        conf = np.sum(bce(preds[:, 4], pos.astype(np.float64)) * (pos | neg))
+        xy = 2 * np.sum(bce(preds[:, 0:2], np.stack([tx, ty], -1))
+                        * pos[:, None])
+        wh = 2 * np.sum((preds[:, 2:4] - np.stack([tw, th], -1)) ** 2
+                        * pos[:, None])
+        cls = np.sum(bce(preds[:, 5:], tcls) * pos[:, None])
+        return cls, conf, xy, wh
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_loss_matches_numpy_transcription(self, seed):
         from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.yolov3 import (
-            YOLO_ANCHORS, YOLO_STRIDES, yolo_loss,
-        )
+            YOLO_STRIDES, yolo_loss)
+
+        rng = np.random.RandomState(seed)
         num_classes = 4
-        rs = np.random.RandomState(0)
-        # one gt per level region; center chosen off-cell-center so tx/ty
-        # offsets are non-trivial
-        gts = np.asarray([[100.0, 120.0, 260.0, 280.0]], np.float32)
-        labels = np.asarray([2], np.int32)
-        valid = np.asarray([True])
+        level_preds = [
+            rng.randn(160 // s, 160 // s, 3 * (5 + num_classes)).astype(
+                np.float32) * 0.5
+            for s in YOLO_STRIDES]
+        G = 4
+        cxcy = rng.uniform(10, 150, (G, 2))
+        wh = np.exp(rng.uniform(np.log(16), np.log(140), (G, 2)))
+        gts = np.concatenate([cxcy - wh / 2, cxcy + wh / 2], -1).astype(
+            np.float32)
+        labels = rng.randint(0, num_classes, G).astype(np.int32)
+        valid = rng.rand(G) > 0.2
 
-        level_preds = []
-        for anchors, stride in zip(YOLO_ANCHORS, YOLO_STRIDES):
-            h = w = 416 // stride
-            p = np.zeros((h, w, 3 * (5 + num_classes)), np.float32)
-            level_preds.append(p)
-
-        # compute the documented targets with a numpy loop and write the
-        # exact inverse-sigmoid/log values into the predictions
-        gx, gy = 180.0, 200.0
-        gw, gh = 160.0, 160.0
-        for li, (anchors, stride) in enumerate(zip(YOLO_ANCHORS, YOLO_STRIDES)):
-            aw = np.asarray([a[0] for a in anchors])
-            ah = np.asarray([a[1] for a in anchors])
-            inter = np.minimum(gw, aw) * np.minimum(gh, ah)
-            union = gw * gh + aw * ah - inter
-            best = int(np.argmax(inter / union))
-            ci = int(gx / stride)
-            cj = int(gy / stride)
-            txy = np.asarray([gx / stride - ci, gy / stride - cj])
-            txy = np.clip(txy, 1e-4, 1 - 1e-4)
-            p = level_preds[li].reshape(-1, 3, 5 + num_classes)
-            idx = cj * (416 // stride) + ci
-            p[idx, best, 0:2] = np.log(txy / (1 - txy))  # inv sigmoid
-            p[idx, best, 2] = np.log(gw / aw[best])
-            p[idx, best, 3] = np.log(gh / ah[best])
-
-        out = yolo_loss([jnp.asarray(p) for p in level_preds],
+        want = self._np_yolo_loss(level_preds, gts, labels, valid,
+                                  num_classes)
+        got = yolo_loss([jnp.asarray(p) for p in level_preds],
                         jnp.asarray(gts), jnp.asarray(labels),
                         jnp.asarray(valid), num_classes)
-        # xy uses sigmoid BCE (mmdet loss_xy CrossEntropyLoss(use_sigmoid)):
-        # the crafted logit z = logit(clip(txy)) against the TRUE (unclipped)
-        # target leaves exactly BCE(z, txy), summed over levels
-        # (num_pos == 1 per level)
-        want_xy = 0.0
-        for li, stride in enumerate(YOLO_STRIDES):
-            t = np.asarray([gx / stride - int(gx / stride),
-                            gy / stride - int(gy / stride)])
-            tc = np.clip(t, 1e-4, 1 - 1e-4)
-            z = np.log(tc / (1 - tc))
-            want_xy += float(np.sum(
-                np.maximum(z, 0) - z * t + np.log1p(np.exp(-np.abs(z)))))
-        np.testing.assert_allclose(float(out.loss_xy), want_xy, rtol=1e-4)
-        assert float(out.loss_wh) < 1e-9
+        for got_v, want_v, name in zip(
+                [got.loss_cls, got.loss_conf, got.loss_xy, got.loss_wh],
+                want, ["cls", "conf", "xy", "wh"]):
+            np.testing.assert_allclose(float(got_v), want_v, rtol=2e-4,
+                                       err_msg=name)
 
-    def test_high_iou_anchors_leave_negative_set(self):
+    def test_valid_vs_invalid_gt_changes_negative_set(self):
         from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.yolov3 import (
-            yolo_loss,
+            YOLO_STRIDES, yolo_loss,
         )
         num_classes = 4
         gts = jnp.asarray([[100.0, 120.0, 260.0, 280.0]], jnp.float32)
         labels = jnp.asarray([2], jnp.int32)
-        valid_t = jnp.asarray([True])
-        valid_f = jnp.asarray([False])
 
-        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.yolov3 import (
-            YOLO_STRIDES,
-        )
         preds = [jnp.zeros((416 // s, 416 // s, 3 * (5 + num_classes)),
                            jnp.float32) for s in YOLO_STRIDES]
-        # with the gt invalid every anchor is negative -> conf loss strictly
-        # larger than with the gt valid (positives+excluded band shrink it
-        # by less than the positive term adds, so compare the negative-only
-        # component: all-zero logits give identical per-anchor BCE, so the
-        # count difference shows up directly)
-        out_t = yolo_loss(preds, gts, labels, valid_t, num_classes)
-        out_f = yolo_loss(preds, gts, labels, valid_f, num_classes)
+        out_t = yolo_loss(preds, gts, labels, jnp.asarray([True]),
+                          num_classes)
+        out_f = yolo_loss(preds, gts, labels, jnp.asarray([False]),
+                          num_classes)
         assert np.isfinite(float(out_t.loss_conf))
         assert np.isfinite(float(out_f.loss_conf))
         assert float(out_t.loss_conf) != float(out_f.loss_conf)
