@@ -256,6 +256,78 @@ def center_region_assign(
     return result, shadowed
 
 
+def region_assign(
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    featmap_sizes,
+    strides,
+    anchor_scale: float = 8.0,
+    center_ratio: float = 0.2,
+    ignore_ratio: float = 0.5,
+) -> jnp.ndarray:
+    """RegionAssigner (mmdet/core/bbox/assigners/region_assigner.py:36-204),
+    static-shape, for ONE square anchor per cell centered at ``x * stride``
+    (Cascade RPN stage 1, crpn config center_ratio=.2 ignore_ratio=.5).
+
+    Each gt maps to the level whose anchor size matches its scale
+    (floor(log2(scale / (anchor_scale * strides[0])) + .5)); sequentially
+    (later gt overrides earlier) its r2 ignore ring is written as -1 then
+    its r1 center region as gt_id+1, both via round()ed feature-space
+    regions against the INTEGER anchor grid centers; finally the r2 regions
+    projected onto the two ADJACENT levels overwrite everything with -1.
+    Returns the per-level [h*w] maps concatenated: -1 ignore / 0 negative /
+    k>0 positive of gt k-1.
+    """
+    num_g = gt_boxes.shape[0]
+    num_lvls = len(featmap_sizes)
+    r1 = (1 - center_ratio) / 2
+    r2 = (1 - ignore_ratio) / 2
+    scale = jnp.sqrt(jnp.maximum(
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]),
+        1e-12))
+    min_anchor_size = float(anchor_scale * strides[0])
+    lvl_of = jnp.clip(
+        jnp.floor(jnp.log2(scale) - jnp.log2(
+            jnp.asarray(min_anchor_size)) + 0.5),
+        0, num_lvls - 1).astype(jnp.int32)
+
+    out = []
+    for li, (h, w) in enumerate(featmap_sizes):
+        stride = float(strides[li])
+        gb = gt_boxes / stride
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+
+        def masks(ratio, live):  # [G, h, w]
+            x1 = jnp.clip(jnp.round((1 - ratio) * gb[:, 0] + ratio * gb[:, 2]),
+                          0, w)
+            y1 = jnp.clip(jnp.round((1 - ratio) * gb[:, 1] + ratio * gb[:, 3]),
+                          0, h)
+            x2 = jnp.clip(jnp.round(ratio * gb[:, 0] + (1 - ratio) * gb[:, 2]),
+                          0, w)
+            y2 = jnp.clip(jnp.round(ratio * gb[:, 1] + (1 - ratio) * gb[:, 3]),
+                          0, h)
+            m = ((xs >= x1[:, None, None]) & (xs <= x2[:, None, None])
+                 & (ys >= y1[:, None, None]) & (ys <= y2[:, None, None]))
+            return m & live[:, None, None]
+
+        on = gt_valid & (lvl_of == li)
+        m_ign = masks(r2, on)
+        m_ctr = masks(r1, on)
+        adj = gt_valid & ((lvl_of == li - 1) | (lvl_of == li + 1))
+        adj_map = jnp.any(masks(r2, adj), axis=0)
+
+        def body(g, a):
+            a = jnp.where(m_ign[g], -1, a)
+            return jnp.where(m_ctr[g], g + 1, a)
+
+        a = jax.lax.fori_loop(0, num_g, body,
+                              jnp.zeros((h, w), jnp.int32))
+        a = jnp.where(adj_map, -1, a)
+        out.append(a.reshape(-1))
+    return jnp.concatenate(out)
+
+
 def _rank_by_random(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     """Random rank (0-based) of each True element among True elements; large
     rank for False elements."""

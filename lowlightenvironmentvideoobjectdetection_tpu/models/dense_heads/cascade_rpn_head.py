@@ -1,18 +1,23 @@
 """Cascade RPN.
 
-Parity target: mmdetection/mmdet/models/dense_heads/cascade_rpn_head.py —
-a multi-stage RPN where stage 1 regresses a single anchor per position
-(dilation-adapted conv) and stage 2 re-regresses the REFINED anchors with an
-offset-adapted (deformable) conv whose sampling grid follows each refined
-anchor's shape. Static-shape two-stage version:
+Parity target: mmdetection/mmdet/models/dense_heads/cascade_rpn_head.py
+(StageCascadeRPNHead ×2) + configs/cascade_rpn/crpn_r50_caffe_fpn_1x_coco.py —
+a multi-stage RPN over ONE square anchor per position:
 
-  stage 1: dilated 3x3 conv -> cls/reg over one anchor per position
-  refine : delta decode -> refined anchors
-  stage 2: DeformConv with offsets derived from the refined anchor vs the
-           regular 3x3 grid (AdaptiveConv type='offset') -> cls/reg
-  losses : per-stage max-IoU assignment against gt (the reference's region
-           assigner for stage 1 is approximated by a center-radius max-IoU
-           assignment — same supervision support, static shapes)
+  stage 1: dilation-adapted 3×3 conv (adapt_cfg type='dilation', dilation=3),
+           NO cls branch (with_cls=False), reg only; targets from the
+           RegionAssigner (center_ratio=.2, ignore_ratio=.5, sampling=False);
+           refined anchors = delta decode with target_stds (.1, .1, .5, .5);
+  stage 2: offset-adapted DeformConv whose sampling grid follows each refined
+           anchor's shape (AdaptiveConv type='offset',
+           cascade_rpn_head.py:19-93), cls + reg; MaxIoU assignment
+           (.7/.7/min_pos .3) with a 256 @ 0.5 RandomSampler; decode stds
+           (.05, .05, .1, .1);
+  losses : both stages use the LINEAR IoU loss (loss_weight 10) on DECODED
+           boxes (reg_decoded_bbox=True); stage 1 averages over ALL anchors
+           (sampling=False → num_total_samples = label.numel(),
+           cascade_rpn_head.py:470-476), stage 2 over the sampled count;
+           stage-2 objectness is BCE over the sampled positives+negatives.
 """
 
 from __future__ import annotations
@@ -23,8 +28,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...core import assigners, boxes as box_ops, losses as L
+from ...core import assigners, boxes as box_ops
 from ...ops.deform_conv import deform_conv
+
+S1_STDS = (0.1, 0.1, 0.5, 0.5)
+S2_STDS = (0.05, 0.05, 0.1, 0.1)
 
 
 class CascadeRPNHead(nn.Module):
@@ -36,7 +44,6 @@ class CascadeRPNHead(nn.Module):
         self.stage1_conv = nn.Conv(
             self.feat_channels, (3, 3), padding=[(3, 3)] * 2,
             kernel_dilation=(3, 3), name="stage1_conv")
-        self.s1_cls = nn.Conv(1, (1, 1), name="s1_cls")
         self.s1_reg = nn.Conv(4, (1, 1), name="s1_reg")
         self.s2_weight = self.param(
             "s2_weight", nn.initializers.lecun_normal(),
@@ -58,10 +65,10 @@ class CascadeRPNHead(nn.Module):
                          axis=-1).reshape(-1, 4)
 
     def stage1(self, feat):
-        """feat: [h, w, C] -> (cls [h*w], reg [h*w, 4], adapted feat)."""
+        """feat: [h, w, C] -> (reg [h*w, 4], adapted feat). with_cls=False
+        per the crpn config's first stage."""
         x = nn.relu(self.stage1_conv(feat))
-        return (self.s1_cls(x).reshape(-1),
-                self.s1_reg(x).reshape(-1, 4), x)
+        return self.s1_reg(x).reshape(-1, 4), x
 
     def stage2(self, feat, refined_anchors):
         """Offset-adapted conv: sampling grid follows each refined anchor
@@ -88,47 +95,73 @@ class CascadeRPNHead(nn.Module):
         return self.s2_cls(x).reshape(-1), self.s2_reg(x).reshape(-1, 4)
 
     def __call__(self, feat):
-        """feat: [h, w, C]. Returns per-stage (cls, reg) and refined
-        anchors."""
+        """feat: [h, w, C]. Returns ((cls2, reg2), stage-1 reg, base anchors,
+        refined anchors)."""
         h, w, _ = feat.shape
         anchors = self.base_anchors(h, w)
-        c1, r1, x1 = self.stage1(feat)
-        refined = box_ops.delta2bbox(anchors, r1)
+        r1, x1 = self.stage1(feat)
+        refined = box_ops.delta2bbox(anchors, r1, stds=S1_STDS)
         c2, r2 = self.stage2(x1, refined)
-        return (c1, r1), (c2, r2), anchors, refined
+        return (c2, r2), r1, anchors, refined
 
 
 class CascadeRPNLoss(NamedTuple):
-    loss_s1_cls: jnp.ndarray
     loss_s1_reg: jnp.ndarray
     loss_s2_cls: jnp.ndarray
     loss_s2_reg: jnp.ndarray
+    # kept for callers that sum all fields uniformly
+    loss_s1_cls: jnp.ndarray
 
 
-def _stage_loss(cls, reg, anchors, gt_boxes, gt_valid, pos_thr, neg_thr):
-    gt_labels = jnp.zeros((gt_boxes.shape[0],), jnp.int32)
-    assign = assigners.max_iou_assign(
-        anchors, gt_boxes, gt_labels, gt_valid,
-        pos_iou_thr=pos_thr, neg_iou_thr=neg_thr, min_pos_iou=pos_thr * 0.6,
-    )
-    pos = assign.assigned_gt_inds > 0
-    neg = assign.assigned_gt_inds == 0
-    labels = pos.astype(jnp.float32)
-    wt = (pos | neg).astype(jnp.float32)
-    loss_cls = L.binary_cross_entropy(cls, labels, weight=wt,
-                                      avg_factor=wt.sum())
-    matched = jnp.clip(assign.assigned_gt_inds - 1, 0,
-                       gt_boxes.shape[0] - 1)
-    tgt = box_ops.bbox2delta(anchors, gt_boxes[matched])
-    loss_reg = L.smooth_l1_loss(reg, tgt, beta=1.0 / 9.0,
-                                weight=pos.astype(jnp.float32)[:, None],
-                                avg_factor=jnp.maximum(pos.sum(), 1) * 4.0)
-    return loss_cls, loss_reg
+def _linear_iou(dec, gt):
+    ix1 = jnp.maximum(dec[:, 0], gt[:, 0])
+    iy1 = jnp.maximum(dec[:, 1], gt[:, 1])
+    ix2 = jnp.minimum(dec[:, 2], gt[:, 2])
+    iy2 = jnp.minimum(dec[:, 3], gt[:, 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    a1 = jnp.maximum(dec[:, 2] - dec[:, 0], 0) * jnp.maximum(
+        dec[:, 3] - dec[:, 1], 0)
+    a2 = jnp.maximum(gt[:, 2] - gt[:, 0], 0) * jnp.maximum(
+        gt[:, 3] - gt[:, 1], 0)
+    iou = inter / jnp.maximum(a1 + a2 - inter, 1e-6)
+    return 1.0 - iou
 
 
-def cascade_rpn_loss(model: CascadeRPNHead, params, feat, gt_boxes, gt_valid):
-    (c1, r1), (c2, r2), anchors, refined = model.apply(params, feat)
-    l1c, l1r = _stage_loss(c1, r1, anchors, gt_boxes, gt_valid, 0.5, 0.3)
-    l2c, l2r = _stage_loss(c2, r2, jax.lax.stop_gradient(refined), gt_boxes,
-                           gt_valid, 0.7, 0.3)
-    return CascadeRPNLoss(l1c, l1r, l2c, l2r)
+def cascade_rpn_loss(model: CascadeRPNHead, params, feat, gt_boxes, gt_valid,
+                     rng: jax.Array | None = None) -> CascadeRPNLoss:
+    """Exact two-stage loss (see module docstring for the recipe)."""
+    (c2, r2), r1, anchors, refined = model.apply(params, feat)
+    h, w = feat.shape[0], feat.shape[1]
+    G = gt_boxes.shape[0]
+    A = anchors.shape[0]
+
+    # stage 1: RegionAssigner targets, linear IoU ×10 on decoded boxes,
+    # averaged over ALL anchors (sampling=False)
+    a1 = assigners.region_assign(gt_boxes, gt_valid, [(h, w)], [model.stride],
+                                 anchor_scale=model.anchor_scale)
+    pos1 = (a1 > 0).astype(jnp.float32)
+    tgt1 = gt_boxes[jnp.clip(a1 - 1, 0, G - 1)]
+    dec1 = box_ops.delta2bbox(anchors, r1, stds=S1_STDS)
+    loss_s1 = 10.0 * jnp.sum(_linear_iou(dec1, tgt1) * pos1) / A
+
+    # stage 2: MaxIoU (.7/.7/min_pos .3) on the detached refined anchors,
+    # 256 @ 0.5 random sampling, BCE cls + linear IoU ×10 averaged by the
+    # sampled count
+    refined_sg = jax.lax.stop_gradient(refined)
+    ar = assigners.max_iou_assign(
+        refined_sg, gt_boxes, jnp.zeros((G,), jnp.int32), gt_valid,
+        pos_iou_thr=0.7, neg_iou_thr=0.7, min_pos_iou=0.3)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    sm = assigners.random_sample_masks(ar, rng, num=256, pos_fraction=0.5)
+    pos2 = sm.pos_mask.astype(jnp.float32)
+    neg2 = sm.neg_mask.astype(jnp.float32)
+    n_samp = jnp.maximum(jnp.sum(pos2) + jnp.sum(neg2), 1.0)
+    tgt2 = gt_boxes[jnp.clip(ar.assigned_gt_inds - 1, 0, G - 1)]
+    dec2 = box_ops.delta2bbox(refined_sg, r2, stds=S2_STDS)
+    loss_s2_reg = 10.0 * jnp.sum(_linear_iou(dec2, tgt2) * pos2) / n_samp
+    bce = (jnp.maximum(c2, 0) - c2 * pos2
+           + jnp.log1p(jnp.exp(-jnp.abs(c2))))
+    loss_s2_cls = jnp.sum(bce * (pos2 + neg2)) / n_samp
+    return CascadeRPNLoss(loss_s1, loss_s2_cls, loss_s2_reg,
+                          jnp.zeros(()))

@@ -1,18 +1,13 @@
-"""Guided Anchoring (GA-Retina/GA-RPN) and Cascade RPN.
+"""Guided Anchoring (GA-Retina/GA-RPN).
 
-Parity targets:
-- GuidedAnchorHead / GARetinaHead (mmdetection/mmdet/models/dense_heads/
-  guided_anchor_head.py:1-860, ga_retina_head.py:1-109): a LOCATION branch
-  (anchor-presence objectness; focal loss on center-region targets), a
-  SHAPE branch (per-cell (dw, dh) in log space; bounded-IoU loss against
-  the best-overlapping gt), a DeformConv FEATURE ADAPTATION driven by the
-  shape prediction, then the usual cls/reg heads on adapted features with
-  the PREDICTED ("guided") square-base anchors.
-- CascadeRPNHead (cascade_rpn_head.py:1-784): two RPN stages; each runs an
-  ADAPTIVE conv (DeformConv whose offsets are derived from the current
-  per-cell anchor box, so the kernel samples inside the anchor), regresses
-  anchor deltas, refines the anchors, and the final stage adds the
-  objectness classifier. Static-shape assignment via max-IoU.
+Parity target: GuidedAnchorHead / GARetinaHead (mmdetection/mmdet/models/
+dense_heads/guided_anchor_head.py:1-860, ga_retina_head.py:1-109): a
+LOCATION branch (anchor-presence objectness; focal loss on center-region
+targets), a SHAPE branch (per-cell (dw, dh) in log space; bounded-IoU loss
+against the best-overlapping gt), a DeformConv FEATURE ADAPTATION driven by
+the shape prediction, then the usual cls/reg heads on adapted features with
+the PREDICTED ("guided") square-base anchors. (Cascade RPN lives in
+cascade_rpn_head.py.)
 """
 
 from __future__ import annotations
@@ -354,114 +349,6 @@ def ga_retina_decode(level_outs, img_shape, num_classes, nms_pre=1000,
                               max_per_img, valid=scores > score_thr)
     return nms_ops.DetResult(res.boxes, res.scores, labels[res.inds],
                              res.valid)
-
-
-# ---------------------------------------------------------------------------
-# Cascade RPN
-# ---------------------------------------------------------------------------
-
-
-def anchor_offsets(anchors, stride, h, w):
-    """Adaptive-conv offsets: 3x3 taps spread over the anchor's extent
-    (cascade_rpn_head.py AdaptiveConv offset computation)."""
-    a = anchors.reshape(h, w, 4) / stride
-    cx = (a[..., 0] + a[..., 2]) / 2 - (jnp.arange(w, dtype=jnp.float32)[None, :])
-    cy = (a[..., 1] + a[..., 3]) / 2 - (jnp.arange(h, dtype=jnp.float32)[:, None])
-    aw = jnp.maximum(a[..., 2] - a[..., 0], 1e-3)
-    ah = jnp.maximum(a[..., 3] - a[..., 1], 1e-3)
-    chans = []
-    for dy in (-1.0, 0.0, 1.0):
-        for dx in (-1.0, 0.0, 1.0):
-            chans.append(cy + dy * (ah / 3.0) - dy)
-            chans.append(cx + dx * (aw / 3.0) - dx)
-    return jnp.stack(chans, axis=-1)
-
-
-class CascadeRPNStage(nn.Module):
-    feat_channels: int = 256
-    with_cls: bool = True
-
-    @nn.compact
-    def __call__(self, feat, offsets):
-        """feat: [1, h, w, C]; offsets: [h, w, 18]."""
-        x = AdaptiveDCN(self.feat_channels, name="rpn_conv")(
-            feat.astype(jnp.float32), offsets[None])
-        x = nn.relu(x)
-        reg = nn.Conv(4, (1, 1), name="rpn_reg")(x)
-        cls = nn.Conv(1, (1, 1), name="rpn_cls")(x) if self.with_cls else None
-        return cls, reg
-
-
-class CascadeRPN(nn.Module):
-    """Two-stage cascade RPN over a single DC5-style level.
-
-    Stage 1 refines one square anchor per cell (no cls); stage 2 classifies
-    + refines again (cascade_rpn_head.py with num_stages=2)."""
-
-    feat_channels: int = 256
-    stride: int = 16
-    anchor_scale: float = 8.0
-
-    def setup(self):
-        self.stage1 = CascadeRPNStage(self.feat_channels, with_cls=False,
-                                      name="stage1")
-        self.stage2 = CascadeRPNStage(self.feat_channels, with_cls=True,
-                                      name="stage2")
-
-    def __call__(self, feat):
-        """feat: [1, h, w, C] -> (cls [h*w], anchors1 [h*w, 4],
-        anchors2 [h*w, 4])."""
-        h, w = feat.shape[-3], feat.shape[-2]
-        # centers at x*stride: crpn's AnchorGenerator default center_offset=0
-        cy = jnp.arange(h, dtype=jnp.float32)[:, None] * self.stride
-        cx = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride
-        half = self.anchor_scale * self.stride / 2
-        anchors = jnp.stack([
-            jnp.broadcast_to(cx - half, (h, w)),
-            jnp.broadcast_to(cy - half, (h, w)),
-            jnp.broadcast_to(cx + half, (h, w)),
-            jnp.broadcast_to(cy + half, (h, w)),
-        ], axis=-1).reshape(-1, 4)
-
-        off1 = anchor_offsets(anchors, self.stride, h, w)
-        _, reg1 = self.stage1(feat, off1)
-        anchors1 = box_ops.delta2bbox(anchors, reg1.reshape(-1, 4),
-                                      stds=(0.1, 0.1, 0.5, 0.5))
-        off2 = anchor_offsets(jax.lax.stop_gradient(anchors1), self.stride,
-                              h, w)
-        cls2, reg2 = self.stage2(feat, off2)
-        anchors2 = box_ops.delta2bbox(anchors1, reg2.reshape(-1, 4),
-                                      stds=(0.05, 0.05, 0.1, 0.1))
-        return cls2.reshape(-1), anchors1, anchors2
-
-
-class CascadeRPNLossOut(NamedTuple):
-    loss_cls: jnp.ndarray
-    loss_reg1: jnp.ndarray
-    loss_reg2: jnp.ndarray
-
-
-def cascade_rpn_loss(cls, anchors1, anchors2, gt_boxes, gt_valid
-                     ) -> CascadeRPNLossOut:
-    """Stage losses: IoU-based regression on both stages (vs best gt),
-    BCE objectness on the final stage (pos: IoU>=.7 / neg: <.3)."""
-    def stage_reg(anchors):
-        iou = box_ops.bbox_overlaps(anchors, gt_boxes)
-        iou = jnp.where(gt_valid[None, :], iou, -1.0)
-        best = jnp.max(iou, axis=1)
-        pos = best >= 0.3
-        return jnp.sum(-jnp.log(jnp.clip(best, 1e-6)) * pos) / jnp.maximum(
-            jnp.sum(pos), 1.0), best
-
-    loss1, _ = stage_reg(anchors1)
-    loss2, best2 = stage_reg(anchors2)
-    pos = best2 >= 0.7
-    neg = best2 < 0.3
-    tgt = pos.astype(jnp.float32)
-    bce = jnp.maximum(cls, 0) - cls * tgt + jnp.log1p(jnp.exp(-jnp.abs(cls)))
-    loss_cls = jnp.sum(bce * (pos | neg)) / jnp.maximum(
-        jnp.sum(pos | neg), 1.0)
-    return CascadeRPNLossOut(loss_cls, loss1, loss2)
 
 
 class GARetinaNet(nn.Module):

@@ -234,5 +234,6 @@ class TestCascadeRPN:
                     + ls.loss_s2_reg), {}
 
         _grads_finite(lf, params)
-        (c1, r1), (c2, r2), anchors, refined = model.apply(params, feat)
+        (c2, r2), r1, anchors, refined = model.apply(params, feat)
+        assert c2.shape == (16,) and r1.shape == (16, 4)
         assert anchors.shape == (16, 4) and refined.shape == (16, 4)
