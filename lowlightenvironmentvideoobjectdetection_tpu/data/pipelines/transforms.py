@@ -357,26 +357,101 @@ class SeqRandomCrop(RandomCrop):
 # ---------------------------------------------------------------------------
 
 
+def bgr2hsv(img):
+    """cv2 float32 BGR->HSV semantics (mmcv.bgr2hsv): H in [0, 360) degrees,
+    S in [0, 1], V on the input scale; ties resolve in R > G > B order."""
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    v = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
+    diff = v - mn
+    s = np.where(v != 0, diff / np.where(v != 0, v, 1.0), 0.0)
+    dz = np.where(diff != 0, diff, 1.0)
+    h = np.where(v == r, 60.0 * (g - b) / dz,
+                 np.where(v == g, 120.0 + 60.0 * (b - r) / dz,
+                          240.0 + 60.0 * (r - g) / dz))
+    h = np.where(diff == 0, 0.0, h)
+    h = np.where(h < 0, h + 360.0, h)
+    return np.stack([h, s, v], axis=-1).astype(np.float32)
+
+
+def hsv2bgr(hsv):
+    """cv2 float32 HSV->BGR (mmcv.hsv2bgr): standard 6-sector formula."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h60 = h / 60.0
+    i = (np.floor(h60).astype(np.int64) % 6).astype(np.int64)
+    f = h60 - np.floor(h60)
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([b, g, r], axis=-1).astype(np.float32)
+
+
 @PIPELINES.register("PhotoMetricDistortion")
 class PhotoMetricDistortion:
-    """Random brightness/contrast/saturation/hue jitter (mmdet semantics,
-    simplified: no HSV round-trip for saturation/hue — channel-wise jitter)."""
+    """Exact mmtrack SeqPhotoMetricDistortion / mmdet PhotoMetricDistortion
+    semantics (mmtrack/datasets/pipelines/transforms.py:797-954): each step
+    fires with probability 0.5 — brightness delta +-32, contrast [.5, 1.5]
+    applied before OR after the HSV block (random mode), saturation [.5, 1.5]
+    and hue +-18 deg IN HSV SPACE (cv2 float conventions, H wrapped to
+    [0, 360)), then a random channel permutation. 6-channel noisy/clean
+    pairs are jittered as two 3-channel groups with shared params."""
 
-    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5)):
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
         self.brightness_delta = brightness_delta
         self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
 
     def params(self):
         return dict(
-            b=pyrandom.uniform(-self.brightness_delta, self.brightness_delta),
-            c=pyrandom.uniform(*self.contrast_range),
+            delta=(pyrandom.uniform(-self.brightness_delta,
+                                    self.brightness_delta)
+                   if pyrandom.random() < 0.5 else None),
+            contrast_first=pyrandom.random() < 0.5,
+            alpha=(pyrandom.uniform(*self.contrast_range)
+                   if pyrandom.random() < 0.5 else None),
+            saturation=(pyrandom.uniform(*self.saturation_range)
+                        if pyrandom.random() < 0.5 else None),
+            hue=(pyrandom.uniform(-self.hue_delta, self.hue_delta)
+                 if pyrandom.random() < 0.5 else None),
+            permutation=(tuple(np.random.permutation(3))
+                         if pyrandom.random() < 0.5 else None),
         )
+
+    def _distort3(self, img, p):
+        img = img.astype(np.float32)
+        if p["delta"] is not None:
+            img = img + p["delta"]
+        if p["contrast_first"] and p["alpha"] is not None:
+            img = img * p["alpha"]
+        if p["saturation"] is not None or p["hue"] is not None:
+            hsv = bgr2hsv(img)
+            if p["saturation"] is not None:
+                hsv[..., 1] *= p["saturation"]
+            if p["hue"] is not None:
+                hsv[..., 0] += p["hue"]
+                hsv[..., 0][hsv[..., 0] > 360] -= 360
+                hsv[..., 0][hsv[..., 0] < 0] += 360
+            img = hsv2bgr(hsv)
+        if not p["contrast_first"] and p["alpha"] is not None:
+            img = img * p["alpha"]
+        if p["permutation"] is not None:
+            img = img[..., list(p["permutation"])]
+        return img
 
     def apply(self, results, p):
         for key in results.get("img_fields", ["img"]):
             img = results[key].astype(np.float32)
-            img = (img + p["b"]) * p["c"]
-            results[key] = np.clip(img, 0, 255)
+            if img.shape[-1] % 3 == 0 and img.shape[-1] > 3:
+                groups = [self._distort3(img[..., i:i + 3], p)
+                          for i in range(0, img.shape[-1], 3)]
+                results[key] = np.concatenate(groups, axis=-1)
+            else:
+                results[key] = self._distort3(img, p)
         return results
 
     def __call__(self, results):
