@@ -223,6 +223,16 @@ def _register_two_stage():
         loss=lambda m, a, v, b, r: mrc.rpn_only_loss(m, v, b, r, a),
         detect=rpn_detect)
 
+    from ..models.dense_heads import cascade_rpn_head as CR
+
+    def crpn_detect(m, a, v, img, ishape, sf=None):
+        return CR.cascade_rpn_propose(m, v, img, ishape, scale_factor=sf)
+
+    FAMILIES["CascadeRPN"] = Family(
+        build=_zoo_build("CascadeRPN"),
+        loss=lambda m, a, v, b, r: CR.cascade_rpn_model_loss(m, v, b, r, a),
+        detect=crpn_detect)
+
 
 # ---------------------------------------------------------------------------
 # Single-stage / dense-head families

@@ -130,29 +130,85 @@ def _linear_iou(dec, gt):
 def cascade_rpn_loss(model: CascadeRPNHead, params, feat, gt_boxes, gt_valid,
                      rng: jax.Array | None = None) -> CascadeRPNLoss:
     """Exact two-stage loss (see module docstring for the recipe)."""
-    (c2, r2), r1, anchors, refined = model.apply(params, feat)
-    h, w = feat.shape[0], feat.shape[1]
+    outs = model.apply(params, feat)
+    (c2, r2), r1, anchors, refined = outs
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    return _crpn_losses_from_outputs(
+        (c2, r2), r1, anchors, refined, gt_boxes, gt_valid, rng,
+        stride=model.stride, anchor_scale=model.anchor_scale,
+        featmap_hw=(feat.shape[0], feat.shape[1]))
+
+
+# ---------------------------------------------------------------------------
+# Full Cascade RPN proposer (crpn_r50 config analog): shared R50-DC5 +
+# ChannelMapper trunk feeding the two-stage head on the single level.
+# ---------------------------------------------------------------------------
+
+
+class CascadeRPNModel(nn.Module):
+    """Backbone+neck (the repo's shared DC5 trunk) + CascadeRPNHead —
+    the CLI-runnable assembly for configs/det/cascade_rpn_* (reference:
+    configs/cascade_rpn/crpn_r50_caffe_fpn_1x_coco.py, single-level here
+    per the repo's DC5 convention)."""
+
+    cfg: "object" = None  # SelsaConfig
+
+    def setup(self):
+        from ..detectors.faster_rcnn import FasterRCNN
+
+        self.base = FasterRCNN(cfg=self.cfg, name="base")
+        self.crpn = CascadeRPNHead(name="crpn")
+
+    def extract_feat(self, imgs):
+        return self.base.extract_feat(imgs)
+
+    def head(self, neck_feat):
+        return self.crpn(neck_feat[0])
+
+    def __call__(self, imgs):
+        _, neck = self.extract_feat(imgs)
+        return self.head(neck)
+
+
+def cascade_rpn_model_loss(model: CascadeRPNModel, params, batch, rng,
+                           anchors=None):
+    (c2, r2), r1, base_anchors, refined = model.apply(params, batch.img[None])
+    ls = _crpn_losses_from_outputs((c2, r2), r1, base_anchors, refined,
+                                   batch.gt_boxes, batch.gt_valid, rng,
+                                   stride=16, anchor_scale=8.0,
+                                   featmap_hw=_hw_from_count(
+                                       base_anchors.shape[0], batch.img))
+    total = ls.loss_s1_reg + ls.loss_s2_cls + ls.loss_s2_reg
+    return total, {"loss": total, "loss_s1_reg": ls.loss_s1_reg,
+                   "loss_s2_cls": ls.loss_s2_cls,
+                   "loss_s2_reg": ls.loss_s2_reg}
+
+
+def _hw_from_count(n, img):
+    h = img.shape[0] // 16
+    w = img.shape[1] // 16
+    assert h * w == n, (h, w, n)
+    return (h, w)
+
+
+def _crpn_losses_from_outputs(stage2, r1, anchors, refined, gt_boxes,
+                              gt_valid, rng, stride, anchor_scale,
+                              featmap_hw) -> CascadeRPNLoss:
+    c2, r2 = stage2
     G = gt_boxes.shape[0]
     A = anchors.shape[0]
-
-    # stage 1: RegionAssigner targets, linear IoU ×10 on decoded boxes,
-    # averaged over ALL anchors (sampling=False)
-    a1 = assigners.region_assign(gt_boxes, gt_valid, [(h, w)], [model.stride],
-                                 anchor_scale=model.anchor_scale)
+    a1 = assigners.region_assign(gt_boxes, gt_valid, [featmap_hw], [stride],
+                                 anchor_scale=anchor_scale)
     pos1 = (a1 > 0).astype(jnp.float32)
     tgt1 = gt_boxes[jnp.clip(a1 - 1, 0, G - 1)]
     dec1 = box_ops.delta2bbox(anchors, r1, stds=S1_STDS)
     loss_s1 = 10.0 * jnp.sum(_linear_iou(dec1, tgt1) * pos1) / A
 
-    # stage 2: MaxIoU (.7/.7/min_pos .3) on the detached refined anchors,
-    # 256 @ 0.5 random sampling, BCE cls + linear IoU ×10 averaged by the
-    # sampled count
     refined_sg = jax.lax.stop_gradient(refined)
     ar = assigners.max_iou_assign(
         refined_sg, gt_boxes, jnp.zeros((G,), jnp.int32), gt_valid,
         pos_iou_thr=0.7, neg_iou_thr=0.7, min_pos_iou=0.3)
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
     sm = assigners.random_sample_masks(ar, rng, num=256, pos_fraction=0.5)
     pos2 = sm.pos_mask.astype(jnp.float32)
     neg2 = sm.neg_mask.astype(jnp.float32)
@@ -160,8 +216,29 @@ def cascade_rpn_loss(model: CascadeRPNHead, params, feat, gt_boxes, gt_valid,
     tgt2 = gt_boxes[jnp.clip(ar.assigned_gt_inds - 1, 0, G - 1)]
     dec2 = box_ops.delta2bbox(refined_sg, r2, stds=S2_STDS)
     loss_s2_reg = 10.0 * jnp.sum(_linear_iou(dec2, tgt2) * pos2) / n_samp
-    bce = (jnp.maximum(c2, 0) - c2 * pos2
-           + jnp.log1p(jnp.exp(-jnp.abs(c2))))
+    bce = jnp.maximum(c2, 0) - c2 * pos2 + jnp.log1p(jnp.exp(-jnp.abs(c2)))
     loss_s2_cls = jnp.sum(bce * (pos2 + neg2)) / n_samp
-    return CascadeRPNLoss(loss_s1, loss_s2_cls, loss_s2_reg,
-                          jnp.zeros(()))
+    return CascadeRPNLoss(loss_s1, loss_s2_cls, loss_s2_reg, jnp.zeros(()))
+
+
+def cascade_rpn_propose(model: CascadeRPNModel, params, img, img_shape,
+                        nms_pre: int = 2000, max_per_img: int = 300,
+                        iou_threshold: float = 0.8, scale_factor=None):
+    """Final proposals from stage 2 (crpn test_cfg: nms across the refined
+    anchors decoded with the stage-2 stds)."""
+    from ...core import nms as nms_ops
+
+    (c2, r2), _, _, refined = model.apply(params, img[None])
+    boxes = box_ops.delta2bbox(refined, r2, stds=S2_STDS)
+    boxes = box_ops.clip_boxes(boxes, (img_shape[0], img_shape[1]))
+    scores = jax.nn.sigmoid(c2)
+    k = min(nms_pre, scores.shape[0])
+    top_s, top_i = jax.lax.top_k(scores, k)
+    boxes = boxes[top_i]
+    if scale_factor is not None:
+        boxes = boxes / jnp.asarray(scale_factor)
+    res = nms_ops.batched_nms(boxes, top_s,
+                              jnp.zeros((k,), jnp.int32), iou_threshold,
+                              max_per_img)
+    return nms_ops.DetResult(res.boxes, res.scores,
+                             jnp.zeros((max_per_img,), jnp.int32), res.valid)

@@ -696,12 +696,14 @@ def build_ga_retina_head(num_classes: int = 80, **kw):
 
 
 @MODELS.register("CascadeRPN")
-def build_cascade_rpn(**kw):
-    """Cascade RPN (reference: cascade_rpn_head.py — stage-wise anchor
-    refinement with adaptive convs)."""
-    from .models.dense_heads.cascade_rpn_head import CascadeRPNHead
+def build_cascade_rpn(num_classes: int = 1, **kw):
+    """Cascade RPN (reference: cascade_rpn_head.py + configs/cascade_rpn/
+    crpn_r50_caffe_fpn_1x_coco.py — stage-wise anchor refinement with
+    adaptive convs over the shared DC5 trunk)."""
+    from .models.dense_heads.cascade_rpn_head import CascadeRPNModel
 
-    return CascadeRPNHead(**kw)
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return CascadeRPNModel(cfg=cfg)
 
 
 def _register_losses():
