@@ -264,6 +264,7 @@ def region_assign(
     anchor_scale: float = 8.0,
     center_ratio: float = 0.2,
     ignore_ratio: float = 0.5,
+    adjacent_ignore: bool = True,
 ) -> jnp.ndarray:
     """RegionAssigner (mmdet/core/bbox/assigners/region_assigner.py:36-204),
     static-shape, for ONE square anchor per cell centered at ``x * stride``
@@ -277,6 +278,17 @@ def region_assign(
     projected onto the two ADJACENT levels overwrite everything with -1.
     Returns the per-level [h*w] maps concatenated: -1 ignore / 0 negative /
     k>0 positive of gt k-1.
+
+    ``adjacent_ignore`` implements the reference's *intended* adjacent-level
+    ignore projection. The reference code NEVER applies it: region_assigner.py
+    creates ``mlvl_ignore_flags`` as ``torch.zeros_like(assigned_gt_inds)`` (a
+    LONG tensor, :130), so the final ``mlvl_assigned_gt_inds[lvl][ignore_flags]
+    = -1`` (:185-187) is integer *gather* indexing by the 0/1 flag VALUES —
+    it spuriously ignores anchor index 0 (and index 1 when any flag is set)
+    and leaves the actual adjacent ring untouched. We keep the intended
+    semantics as the default (SURVEY §7 "reference bugs to not replicate");
+    ``adjacent_ignore=False`` disables the projection so goldens can emulate
+    the buggy reference exactly (tests/test_ref_code_goldens.py).
     """
     num_g = gt_boxes.shape[0]
     num_lvls = len(featmap_sizes)
@@ -323,7 +335,8 @@ def region_assign(
 
         a = jax.lax.fori_loop(0, num_g, body,
                               jnp.zeros((h, w), jnp.int32))
-        a = jnp.where(adj_map, -1, a)
+        if adjacent_ignore:
+            a = jnp.where(adj_map, -1, a)
         out.append(a.reshape(-1))
     return jnp.concatenate(out)
 
