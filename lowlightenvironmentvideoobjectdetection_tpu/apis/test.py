@@ -81,10 +81,14 @@ def single_device_test(
                 refs.append(pr["img"])
             ref_imgs = np.stack([np.asarray(x, np.float32) for x in refs])
             ref_cache.pop(key0, None)
+        # VideoCollect nests the pipeline meta under img_metas (the
+        # reference's DataContainer meta); read through it so rescale=True
+        # actually rescales when the test pipeline resized the frame.
+        meta = r.get("img_metas") or {}
         out = model.inference_vid_prepared(
             np.asarray(r["img"], np.float32),
-            img_shape=r.get("img_shape"),
-            scale_factor=r.get("scale_factor"),
+            img_shape=r.get("img_shape", meta.get("img_shape")),
+            scale_factor=r.get("scale_factor", meta.get("scale_factor")),
             frame_id=fid,
             ref_imgs=ref_imgs,
         )

@@ -20,6 +20,11 @@ from .registry import MODELS
 
 
 def _selsa_cfg(num_classes=30, pad_h=608, pad_w=1024, out_indices=(3,), **kw):
+    cd = kw.get("compute_dtype")
+    if isinstance(cd, str):  # config files name dtypes as strings
+        kw["compute_dtype"] = dict(
+            float32=jnp.float32, bfloat16=jnp.bfloat16, float16=jnp.float16
+        )[cd]
     bo = kw.get("backbone_overrides")
     if isinstance(bo, dict):  # configs write a dict; the dataclass wants a
         kw["backbone_overrides"] = tuple(  # hashable tuple-of-pairs
