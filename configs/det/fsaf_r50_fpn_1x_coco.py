@@ -1,0 +1,3 @@
+# FSAF R-50 FPN 1x (reference: mmdetection/configs/fsaf/fsaf_r50_fpn_1x_coco.py).
+_base_ = ["../_base_/default_runtime.py"]
+model = dict(type="FSAF", num_classes=80, depth=50)

@@ -1,0 +1,3 @@
+# GFL R-50 FPN 1x (reference: mmdetection/configs/gfl/gfl_r50_fpn_1x_coco.py).
+_base_ = ["../_base_/default_runtime.py"]
+model = dict(type="GFL", num_classes=80, depth=50)

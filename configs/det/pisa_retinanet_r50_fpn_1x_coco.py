@@ -1,0 +1,3 @@
+# PISA RetinaNet R-50 (reference: mmdetection/configs/pisa/pisa_retinanet_r50_fpn_1x_coco.py).
+_base_ = ["../_base_/default_runtime.py"]
+model = dict(type="PISA", num_classes=80, depth=50)

@@ -1,0 +1,3 @@
+# VarifocalNet R-50 FPN 1x (reference: mmdetection/configs/vfnet/vfnet_r50_fpn_1x_coco.py).
+_base_ = ["../_base_/default_runtime.py"]
+model = dict(type="VFNet", num_classes=80, depth=50)

@@ -387,13 +387,13 @@ def _register_single_stage():
                                 input_hw=(128, 128))
 
     def detr_loss(m, a, v, b, r):
-        c, bx = m.apply(v, b.img[None])
-        return _total(D.detr_loss(c, bx, b.gt_boxes, b.gt_labels,
-                                  b.gt_valid, b.img_shape, m.num_classes))
+        c, bx = m.apply(v, b.img[None])  # [L, Q, ...] per decoder layer
+        return _total(D.detr_loss_all(c, bx, b.gt_boxes, b.gt_labels,
+                                      b.gt_valid, b.img_shape, m.num_classes))
 
     def detr_detect(m, a, v, img, ishape, sf=None):
         c, bx = m.apply(v, img[None])
-        det = D.detr_detect(c, bx, ishape, m.num_classes)
+        det = D.detr_detect(c[-1], bx[-1], ishape, m.num_classes)
         if sf is not None:
             det = det._replace(boxes=det.boxes / jnp.asarray(sf))
         return det

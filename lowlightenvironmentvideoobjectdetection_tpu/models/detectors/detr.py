@@ -41,40 +41,85 @@ def sine_positional_encoding(h: int, w: int, dim: int) -> jnp.ndarray:
     return jnp.concatenate([py, px], axis=-1)
 
 
-class TransformerLayer(nn.Module):
+# torch nn.LayerNorm epsilon — flax defaults to 1e-6; the decoder's first
+# self-attention runs on an all-zeros target whose LayerNorm sits exactly at
+# zero variance, so the epsilon IS the numerics there (VERDICT r3 #3: keep
+# the zeros-init scheme, document the epsilon).
+LN_EPS = 1e-5
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Reference order ('selfattn', 'norm', 'ffn', 'norm')
+    (mmdet/models/utils/transformer.py:171-253, post-norm)."""
+
     dim: int = 256
     heads: int = 8
     ffn_dim: int = 2048
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q, kv=None, q_pos=None, kv_pos=None):
-        """Pre-LN-free (post-LN, as DETR): self/cross attention + FFN."""
-        kv = q if kv is None else kv
-        q_in = q + q_pos if q_pos is not None else q
-        k_in = kv + kv_pos if kv_pos is not None else kv
+    def __call__(self, x, pos):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn",
-        )(q_in, k_in, kv)
-        x = nn.LayerNorm(name="ln1")(q + attn)
+        )(x + pos, x + pos, x)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(x + attn)
         ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(x)
         ffn = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(nn.relu(ffn))
-        return nn.LayerNorm(name="ln2")(x + ffn)
+        return nn.LayerNorm(epsilon=LN_EPS, name="ln2")(x + ffn)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Reference order ('selfattn', 'norm', 'multiheadattn', 'norm', 'ffn',
+    'norm') (transformer.py:270-404): ONE FFN per decoder layer, after the
+    cross attention; query_pos added to q/k of the self attention and to the
+    query of the cross attention, pos_embed added to the cross keys."""
+
+    dim: int = 256
+    heads: int = 8
+    ffn_dim: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, mem, q_pos, mem_pos):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, name="self_attn",
+        )(q + q_pos, q + q_pos, q)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(q + attn)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, name="cross_attn",
+        )(x + q_pos, mem + mem_pos, mem)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln2")(x + attn)
+        ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(x)
+        ffn = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(nn.relu(ffn))
+        return nn.LayerNorm(epsilon=LN_EPS, name="ln3")(x + ffn)
 
 
 class DETR(nn.Module):
+    """Reference depth: 6 encoder + 6 decoder layers
+    (transformer_head.py:56-57), ``return_intermediate_dec=True`` (:64) —
+    every decoder layer's output (through the decoder's shared final
+    LayerNorm, transformer.py:573-574) feeds the shared cls/reg heads so the
+    training loss can supervise all layers (:304 loss mapped over layers).
+
+    Decoder queries start from ZEROS with ``query_embed`` as query_pos
+    (transformer.py:718-720 ``target = torch.zeros_like(query_embed)``);
+    the reg branch is the 3-layer MLP fc(256)->relu->fc(256)->relu->fc(4)
+    (reg_ffn with feedforward=embed_dims + fc_reg, transformer_head.py:
+    166-173, 255-256)."""
+
     num_classes: int = 80
     num_queries: int = 100
     dim: int = 256
-    enc_layers: int = 3
-    dec_layers: int = 3
+    enc_layers: int = 6
+    dec_layers: int = 6
     depth: int = 50
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray):
-        """imgs: [1, H, W, 3] -> (class logits [Q, C+1], boxes cxcywh [Q, 4]
-        normalized)."""
+        """imgs: [1, H, W, 3] -> (class logits [L, Q, C+1], boxes cxcywh
+        [L, Q, 4] normalized) for the L decoder layers; [-1] is the final
+        prediction."""
         feats = ResNet(depth=self.depth, out_indices=(3,), frozen_stages=1,
                        dtype=jnp.bfloat16, name="backbone")(imgs)
         c5 = feats[0].astype(self.dtype)  # [1, h, w, 2048]
@@ -82,32 +127,32 @@ class DETR(nn.Module):
         _, h, w, _ = x.shape
         pos = sine_positional_encoding(h, w, self.dim)[None]
         mem = x.reshape(1, h * w, self.dim)
-        posf = pos.reshape(1, h * w, self.dim)
+        posf = pos.reshape(1, h * w, self.dim).astype(self.dtype)
         for i in range(self.enc_layers):
-            mem = TransformerLayer(dim=self.dim, dtype=self.dtype,
-                                   name=f"enc{i}")(mem, q_pos=posf,
-                                                   kv_pos=posf)
+            mem = TransformerEncoderLayer(
+                dim=self.dim, dtype=self.dtype, name=f"enc{i}")(mem, posf)
+
         query_embed = self.param(
             "query_embed", nn.initializers.normal(1.0),
             (self.num_queries, self.dim))
-        # start decoder queries from the embedding (not zeros): a zero target
-        # makes the first self-attention output exactly zero and LayerNorm's
-        # rsqrt(var+eps) at zero variance explodes the gradients
-        q = query_embed[None].astype(self.dtype)
-        qpos = query_embed[None]
+        qpos = query_embed[None].astype(self.dtype)
+        q = jnp.zeros_like(qpos)  # target = zeros_like(query_embed)
+        dec_norm = nn.LayerNorm(epsilon=LN_EPS, name="dec_norm")
+        inter = []
         for i in range(self.dec_layers):
-            q = TransformerLayer(dim=self.dim, dtype=self.dtype,
-                                 name=f"dec_self{i}")(q, q_pos=qpos,
-                                                      kv_pos=qpos)
-            q = TransformerLayer(dim=self.dim, dtype=self.dtype,
-                                 name=f"dec_cross{i}")(q, kv=mem, q_pos=qpos,
-                                                       kv_pos=posf)
+            q = TransformerDecoderLayer(
+                dim=self.dim, dtype=self.dtype, name=f"dec{i}")(
+                    q, mem, qpos, posf)
+            inter.append(dec_norm(q))
+        outs = jnp.stack(inter, axis=0)[:, 0]  # [L, Q, D]
+
         cls_logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,
-                              name="fc_cls")(q)[0]
-        bbox = nn.Dense(4, dtype=self.dtype, name="fc_reg")(
-            nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="reg_ffn")(q)))
-        return cls_logits.astype(jnp.float32), jax.nn.sigmoid(
-            bbox[0].astype(jnp.float32))
+                              name="fc_cls")(outs)
+        r = nn.Dense(self.dim, dtype=self.dtype, name="reg_ffn0")(outs)
+        r = nn.Dense(self.dim, dtype=self.dtype, name="reg_ffn1")(nn.relu(r))
+        bbox = nn.Dense(4, dtype=self.dtype, name="fc_reg")(nn.relu(r))
+        return (cls_logits.astype(jnp.float32),
+                jax.nn.sigmoid(bbox.astype(jnp.float32)))
 
 
 def _giou(boxes1, boxes2):
@@ -218,6 +263,26 @@ def detr_loss(cls_logits, boxes_norm, gt_boxes, gt_labels, gt_valid,
     loss_giou = jnp.sum((1.0 - giou_d) * is_matched_gt) / num_pos
     return DETRLossOut(cls_weight * loss_cls, l1_weight * loss_bbox,
                        giou_weight * loss_giou)
+
+
+def detr_loss_all(cls_all, boxes_all, gt_boxes, gt_labels, gt_valid,
+                  img_shape, num_classes,
+                  cls_weight=1.0, l1_weight=5.0, giou_weight=2.0
+                  ) -> DETRLossOut:
+    """Auxiliary decoding losses: the Hungarian-matched set loss applied to
+    EVERY decoder layer's output and summed (transformer_head.py:297-324 —
+    loss_single mapped over all nb_dec layers; mmtrack's _parse_losses sums
+    the d{i}.* entries into the total)."""
+    l = cls_all.shape[0]
+    out = DETRLossOut(jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    for i in range(l):
+        li = detr_loss(cls_all[i], boxes_all[i], gt_boxes, gt_labels,
+                       gt_valid, img_shape, num_classes,
+                       cls_weight, l1_weight, giou_weight)
+        out = DETRLossOut(out.loss_cls + li.loss_cls,
+                          out.loss_bbox + li.loss_bbox,
+                          out.loss_giou + li.loss_giou)
+    return out
 
 
 def detr_detect(cls_logits, boxes_norm, img_shape, num_classes,

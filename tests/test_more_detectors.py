@@ -289,19 +289,19 @@ class TestDETR:
             jnp.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
         cls_logits, boxes = jax.jit(model.apply)(params, imgs)
-        assert cls_logits.shape == (20, 4)
-        assert boxes.shape == (20, 4)
+        assert cls_logits.shape == (1, 20, 4)  # [L, Q, C+1] per dec layer
+        assert boxes.shape == (1, 20, 4)
         assert float(boxes.min()) >= 0 and float(boxes.max()) <= 1
 
         gt_b, gt_l, gt_v = _gts()
-        loss = jax.jit(lambda c, b: D.detr_loss(
+        loss = jax.jit(lambda c, b: D.detr_loss_all(
             c, b, gt_b, gt_l, gt_v, (64, 64), 3))(cls_logits, boxes)
         for v in loss:
             assert np.isfinite(float(v)), loss
 
         det = jax.jit(lambda c, b: D.detr_detect(c, b, (64, 64), 3,
                                                  max_per_img=10))(
-            cls_logits, boxes)
+            cls_logits[-1], boxes[-1])
         assert det.boxes.shape == (10, 4)
 
     def test_hungarian_matches_each_gt_once(self):
@@ -328,7 +328,7 @@ class TestDETR:
 
         def lf(p):
             c, b = model.apply(p, imgs)
-            l = D.detr_loss(c, b, gt_b, gt_l, gt_v, (64, 64), 3)
+            l = D.detr_loss_all(c, b, gt_b, gt_l, gt_v, (64, 64), 3)
             return l.loss_cls + l.loss_bbox + l.loss_giou
 
         l0, g = jax.value_and_grad(lf)(params)

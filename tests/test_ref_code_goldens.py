@@ -536,6 +536,104 @@ def test_random_sampler_oversubscribed_count_contract():
     assert np.all(assigned[np.asarray(got.neg_mask)] == 0)
 
 
+# ------------------------------------------------- DETR aux decoder losses
+
+
+def _ref_detr_loss_single(cls_logits, boxes_norm, gts, labels, hw, nc):
+    """transformer_head.py loss_single transcription on reference code:
+    reference HungarianAssigner for matching, CE with bg weight 0.1 and
+    avg_factor = num_pos + 0.1*num_neg, L1 on normalized cxcywh / num_pos,
+    GIoU (1 - giou) on absolute xyxy / num_pos."""
+    h, w = hw
+    q = cls_logits.shape[0]
+    assigner = mmdet.assigners.hungarian_assigner.HungarianAssigner(
+        cls_cost=dict(type="ClassificationCost", weight=1.0),
+        reg_cost=dict(type="BBoxL1Cost", weight=5.0),
+        iou_cost=dict(type="IoUCost", iou_mode="giou", weight=2.0),
+    )
+    r = assigner.assign(
+        torch.from_numpy(boxes_norm), torch.from_numpy(cls_logits),
+        torch.from_numpy(gts), torch.from_numpy(labels),
+        dict(img_shape=(h, w, 3)),
+    )
+    gt_inds = r.gt_inds.numpy()
+    pos = gt_inds > 0
+    num_pos = max(int(pos.sum()), 1)
+    num_neg = q - int(pos.sum())
+    nc_bg = nc  # background index
+    tgt = np.full(q, nc_bg, np.int64)
+    tgt[pos] = labels[gt_inds[pos] - 1]
+    logp = torch.log_softmax(torch.from_numpy(cls_logits), dim=-1).numpy()
+    wv = np.where(tgt == nc_bg, 0.1, 1.0)
+    loss_cls = float(-(logp[np.arange(q), tgt] * wv).sum()
+                     / (pos.sum() + 0.1 * num_neg))
+
+    factor = np.array([w, h, w, h], np.float32)
+    gt_norm = gts / factor
+    gt_ccwh = np.stack([
+        (gt_norm[:, 0] + gt_norm[:, 2]) / 2,
+        (gt_norm[:, 1] + gt_norm[:, 3]) / 2,
+        gt_norm[:, 2] - gt_norm[:, 0], gt_norm[:, 3] - gt_norm[:, 1]], -1)
+    mb = boxes_norm[pos]
+    mt = gt_ccwh[gt_inds[pos] - 1]
+    loss_bbox = float(np.abs(mb - mt).sum() / num_pos)
+
+    def ccwh2xyxy(b):
+        return np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                         b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], -1)
+
+    pb = ccwh2xyxy(mb) * factor
+    tb = gts[gt_inds[pos] - 1]
+    giou = np.diagonal(np.asarray(_np_giou(pb, tb)))
+    loss_giou = float((1.0 - giou).sum() / num_pos)
+    return loss_cls * 1.0, loss_bbox * 5.0, loss_giou * 2.0
+
+
+def _np_giou(a, b):
+    iou_t = mmdet.assigners.hungarian_assigner  # reuse loaded iou calculator
+    from mmdet.core.bbox.iou_calculators import bbox_overlaps as bo
+
+    g = bo(torch.from_numpy(a), torch.from_numpy(b), mode="giou")
+    return g.numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_detr_aux_loss_per_layer_matches_reference(seed):
+    """detr_loss_all == sum over decoder layers, each layer equal to the
+    reference loss_single semantics (reference HungarianAssigner matching +
+    CE/L1/GIoU with the reference avg factors)."""
+    from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.detr import (
+        detr_loss, detr_loss_all,
+    )
+
+    rs = np.random.RandomState(seed)
+    L, q, g, nc = 3, 20, 4, 6
+    h, w = 160, 224
+    cls_all = rs.randn(L, q, nc + 1).astype(np.float32)
+    boxes_all = rs.uniform(0.05, 0.7, (L, q, 4)).astype(np.float32)
+    gts = _rand_boxes(rs, g, span=150.0)
+    labels = rs.randint(0, nc, g).astype(np.int64)
+
+    totals = np.zeros(3)
+    for i in range(L):
+        ref = _ref_detr_loss_single(cls_all[i], boxes_all[i], gts, labels,
+                                    (h, w), nc)
+        got = detr_loss(jnp.asarray(cls_all[i]), jnp.asarray(boxes_all[i]),
+                        jnp.asarray(gts), jnp.asarray(labels, jnp.int32),
+                        jnp.ones(g, bool), (h, w), nc)
+        np.testing.assert_allclose(
+            [float(got.loss_cls), float(got.loss_bbox), float(got.loss_giou)],
+            ref, rtol=1e-4, atol=1e-5)
+        totals += np.asarray(ref)
+
+    allo = detr_loss_all(jnp.asarray(cls_all), jnp.asarray(boxes_all),
+                         jnp.asarray(gts), jnp.asarray(labels, jnp.int32),
+                         jnp.ones(g, bool), (h, w), nc)
+    np.testing.assert_allclose(
+        [float(allo.loss_cls), float(allo.loss_bbox), float(allo.loss_giou)],
+        totals, rtol=1e-4, atol=1e-5)
+
+
 # ---------------------------------------------------------------- eval_map
 
 
