@@ -8,6 +8,7 @@ _base_ = [
 model = dict(type="SELSA", num_ref_frames=14)
 
 # reference-exact proposal budget (faster_rcnn_r50_dc5.py:25-29): nms_pre
-# 6000/600 train, 6000/300 test. The framework default of 2000 is the
-# perf-tuned setting; this config pins the accuracy-parity values.
+# 6000/600 train (now also the framework default), 6000/300 test. The
+# framework's TEST default of 2000 is the measured perf/recall-equivalent
+# window (tools/bench_nms_pre.py); this config pins the parity value.
 model = dict(model, train_nms_pre=6000, test_nms_pre=6000)

@@ -283,6 +283,15 @@ def _register_single_stage():
     FAMILIES["RetinaNet"] = Family(retina_build, retina_loss, retina_detect,
                                    input_hw=(128, 128))
 
+    def nasfpn_build(mcfg, tiny):
+        m, _ = _dense_build("NASFPNRetinaNet",
+                            dict(stack_times=2) if tiny else None)(mcfg, tiny)
+        return m, R.retina_anchor_generator()
+
+    # same losses/decode as RetinaNet; only neck + head norm layout differ
+    FAMILIES["NASFPNRetinaNet"] = Family(nasfpn_build, retina_loss,
+                                         retina_detect, input_hw=(128, 128))
+
     def fa_loss(m, gen, v, b, r):
         outs = m.apply(v, b.img[None])
         return _total(FA.free_anchor_loss(

@@ -76,11 +76,52 @@ class VIDModel:
         # into the HLO as constants — fatal on remote-compile TPU tunnels)
         update = ref_method == "fix"
 
-        def step(params, anchors, state, frame, img_shape, sf, do_update):
-            return S.inference_step(
-                self.model, params, state, frame, img_shape, sf, anchors,
-                update_memo=update, do_update=do_update,
-            )
+        # Per-family step/init dispatch: FGFA and DFF carry their own memo
+        # shapes and step fns (models/vid/fgfa.py); everything else streams
+        # through the SELSA step (the darkfarm family's test path IS the
+        # noisy-branch SELSA stream, selsa_darkfarm_detect.py:215+).
+        kind = type(self.model).__name__
+        if kind == "FGFA":
+            from ..models.vid import fgfa as FG
+
+            def step(params, anchors, state, frame, img_shape, sf, do_update):
+                return FG.fgfa_inference_step(
+                    self.model, params, state, frame, img_shape, sf, anchors)
+
+            def init_state(params, refs, img_shape, anchors):
+                return FG.fgfa_init_state(self.model, params, refs)
+
+        elif kind == "DFF":
+            from ..models.vid import fgfa as FG
+
+            def step(params, anchors, state, frame, img_shape, sf, do_update):
+                return FG.dff_inference_step(
+                    self.model, params, state, frame, img_shape, sf, anchors)
+
+            def init_state(params, refs, img_shape, anchors):
+                # frame 0 is always a key frame (frames_since_key=0), so the
+                # zero placeholders are replaced before first use
+                c = self.cfg
+                return FG.DFFState(
+                    jnp.zeros((c.pad_h, c.pad_w, refs.shape[-1]),
+                              jnp.float32),
+                    jnp.zeros((c.pad_h // c.stride, c.pad_w // c.stride,
+                               c.neck_channels), c.compute_dtype),
+                    jnp.zeros((), jnp.int32),
+                )
+
+        else:
+            def step(params, anchors, state, frame, img_shape, sf, do_update):
+                return S.inference_step(
+                    self.model, params, state, frame, img_shape, sf, anchors,
+                    update_memo=update, do_update=do_update,
+                )
+
+            def init_state(params, refs, img_shape, anchors):
+                return S.init_video_state(self.model, params, refs,
+                                          img_shape, anchors)
+
+        self._init_state_fn = init_state
 
         # the carried VideoState is donated: it is replaced by the returned
         # state every step, and without aliasing XLA copies the ~35 MB
@@ -121,9 +162,9 @@ class VIDModel:
             else:
                 refs = ref_frames
             ref_imgs, _, _ = prepare_frames(refs, cfg.pad_h, cfg.pad_w)
-            self.state = self._S.init_video_state(
-                self.model, self.params, self._maybe_pack(ref_imgs),
-                img_shape, self.anchors
+            self.state = self._init_state_fn(
+                self.params, self._maybe_pack(ref_imgs), img_shape,
+                self.anchors
             )
         do = (self.ref_method != "fix"
               or frame_id % self.frame_stride == 0)
@@ -176,9 +217,9 @@ class VIDModel:
                 refs = np.repeat(canvas[None], cfg.num_ref_frames, axis=0)
             else:
                 refs = np.stack([self._pad_prepared(r) for r in ref_imgs])
-            self.state = self._S.init_video_state(
-                self.model, self.params, jnp.asarray(self._maybe_pack(refs)),
-                shape, self.anchors
+            self.state = self._init_state_fn(
+                self.params, jnp.asarray(self._maybe_pack(refs)), shape,
+                self.anchors
             )
         do = (self.ref_method != "fix"
               or frame_id % self.frame_stride == 0)

@@ -158,6 +158,91 @@ def retina_decode(
     return nms_ops.DetResult(res.boxes, res.scores, labels[res.inds], res.valid)
 
 
+class RetinaSepBNHead(nn.Module):
+    """RetinaSepBNHead (mmdet/models/dense_heads/retina_sepbn_head.py:9-103,
+    the NAS-FPN detector head): conv KERNELS are shared across FPN levels
+    (retina_sepbn_head.py:62-65 aliases every level's .conv to level 0's)
+    while the normalization parameters are SEPARATE per level per stack.
+
+    The per-level norm is realized as a trainable per-channel affine (BN
+    with frozen unit statistics): single-clip training batches make live
+    batch statistics degenerate, and at inference folded BN IS an affine —
+    the head's defining structure (shared kernels + per-level norm params)
+    is preserved exactly. Convs carry no bias (ConvModule with norm_cfg)."""
+
+    num_classes: int = 80
+    num_ins: int = 5
+    num_base_anchors: int = 9
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        assert len(feats) == self.num_ins
+        convs = {}
+        for branch in ("cls", "reg"):
+            convs[branch] = [
+                nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                        use_bias=False, dtype=self.dtype,
+                        name=f"{branch}_conv{i}")
+                for i in range(self.stacked_convs)
+            ]
+        cls_out = nn.Conv(
+            self.num_base_anchors * self.num_classes, (3, 3),
+            padding=[(1, 1)] * 2, dtype=self.dtype,
+            bias_init=nn.initializers.constant(-4.595),
+            name="retina_cls",
+        )
+        reg_out = nn.Conv(self.num_base_anchors * 4, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          name="retina_reg")
+
+        def sep_bn(x, branch, lvl, stk):
+            c = x.shape[-1]
+            scale = self.param(f"{branch}_bn{lvl}_{stk}_scale",
+                               nn.initializers.ones, (c,))
+            bias = self.param(f"{branch}_bn{lvl}_{stk}_bias",
+                              nn.initializers.zeros, (c,))
+            return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+        outs = []
+        for lvl, x in enumerate(feats):
+            c = r = x.astype(self.dtype)
+            for i in range(self.stacked_convs):
+                c = nn.relu(sep_bn(convs["cls"][i](c), "cls", lvl, i))
+                r = nn.relu(sep_bn(convs["reg"][i](r), "reg", lvl, i))
+            outs.append((cls_out(c), reg_out(r)))
+        return tuple(outs)
+
+
+class NASFPNRetinaNet(nn.Module):
+    """The NAS-FPN detector (mmdetection/configs/nas_fpn/
+    retinanet_r50_nasfpn_crop640_50e_coco.py): ResNet + NASFPN(stack 7)
+    neck + RetinaSepBNHead. Losses/decode are RetinaNet's."""
+
+    num_classes: int = 80
+    depth: int = 50
+    stack_times: int = 7
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        from ..necks.extra_necks import NASFPN
+
+        self.backbone = ResNet(
+            depth=self.depth, out_indices=(1, 2, 3), frozen_stages=1,
+            dtype=self.dtype, name="backbone",
+        )
+        self.neck = NASFPN(out_channels=256, num_outs=5,
+                           stack_times=self.stack_times, dtype=self.dtype,
+                           name="neck")
+        self.head = RetinaSepBNHead(num_classes=self.num_classes,
+                                    dtype=self.dtype, name="bbox_head")
+
+    def __call__(self, imgs):
+        return self.head(self.neck(self.backbone(imgs)))
+
+
 class RetinaNet(nn.Module):
     """ResNet + FPN (extra convs on input) + RetinaHead."""
 

@@ -16,9 +16,11 @@ Parity targets (all in mmdetection/mmdet/models/detectors/):
   TridentResNet 3-branch backbone; branches fold into the batch axis at
   train time and the middle branch serves at test time.
 - ``GridRCNN`` (grid_rcnn.py + roi_heads/mask_heads/grid_head.py): replaces
-  box regression with grid-point heatmap localization (here the 4 box
-  borders as 2x2 corner heatmaps over a 28x28 roi map — the reference's
-  9-point fusion reduced to its load-bearing extremes).
+  box regression with 9-point grid heatmap localization — the exact
+  reference head: 8 GN convs, first/second-order neighbor fusion (5x5
+  depthwise + 1x1 transitions), grouped deconvs to 28x28 per-point
+  sub-heatmaps of the 56x56 whole map, circle targets on 2x-expanded
+  jittered rois, and score-weighted boundary voting at decode.
 
 All reuse the Faster R-CNN trunk and the static-shape target machinery;
 each has a loss and a jittable detect path, smoke-tested in
@@ -32,6 +34,7 @@ from typing import NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...core import losses as L, nms as nms_ops
 from ...ops.point_sample import point_sample
@@ -527,18 +530,131 @@ def trident_loss(model: TridentFasterRCNN, params, batch: DetTrainBatch,
 # ---------------------------------------------------------------------------
 
 
+GRID_POINTS = 9
+GRID_SIZE = 3
+GRID_WHOLE = 56  # roi_feat_size(14) * 4 (grid_head.py:49 whole_map_size)
+GRID_HALF = GRID_WHOLE // 4 * 2  # 28 — "2 * quarter_size, which is smaller"
+
+
+def _grid_neighbors():
+    """4-neighborhood of each of the 9 grid points, in the reference's
+    column-major point order (grid_head.py:89-103: i = x_idx*3 + y_idx)."""
+    nbrs = []
+    for i in range(GRID_SIZE):
+        for j in range(GRID_SIZE):
+            n = []
+            if i > 0:
+                n.append((i - 1) * GRID_SIZE + j)
+            if j > 0:
+                n.append(i * GRID_SIZE + j - 1)
+            if j < GRID_SIZE - 1:
+                n.append(i * GRID_SIZE + j + 1)
+            if i < GRID_SIZE - 1:
+                n.append((i + 1) * GRID_SIZE + j)
+            nbrs.append(tuple(n))
+    return tuple(nbrs)
+
+
+def _grid_sub_regions():
+    """Per-point 28x28 sub-window offsets inside the 56x56 whole map
+    (grid_head.py calc_sub_regions)."""
+    subs = []
+    for i in range(GRID_POINTS):
+        def off(idx):
+            if idx == 0:
+                return 0
+            if idx == GRID_SIZE - 1:
+                return GRID_HALF
+            return max(int((idx / (GRID_SIZE - 1) - 0.25) * GRID_WHOLE), 0)
+        subs.append((off(i // GRID_SIZE), off(i % GRID_SIZE)))
+    return tuple(subs)
+
+
+GRID_NEIGHBORS = _grid_neighbors()
+GRID_SUBS = _grid_sub_regions()
+
+
 class GridHead(nn.Module):
-    """Conv stack -> 4 border heatmaps over a 28x28 roi window."""
+    """Exact reference grid head (grid_head.py:11-187): 8 convs (first
+    stride 2) with GN(36)+relu to 9x64 point features, first- and
+    second-order neighbor fusion (5x5 depthwise + 1x1 transitions), then two
+    grouped (groups=9) 4x4/s2 deconvs to 9 half-map (28x28) point heatmaps.
+    Training also emits the unfused heatmaps through the SAME deconvs."""
+
+    point_channels: int = 64
+
+    def _trans(self, t, name):
+        c = self.point_channels
+        t = nn.Conv(c, (5, 5), padding=[(2, 2)] * 2, feature_group_count=c,
+                    name=f"{name}_dw")(t)
+        return nn.Conv(c, (1, 1), name=f"{name}_pw")(t)
+
+    def _gdeconv_params(self, cin, cout, name, bias_init=0.0):
+        w = self.param(f"{name}_w", nn.initializers.normal(0.001),
+                       (4, 4, cin // GRID_POINTS, cout))
+        b = self.param(f"{name}_b", nn.initializers.constant(bias_init),
+                       (cout,))
+        return w, b
+
+    @staticmethod
+    def _gdeconv(x, wb):
+        """Grouped (groups=9) 4x4 stride-2 pad-1 transposed conv
+        == conv_general_dilated with lhs_dilation 2 and padding k-1-p = 2."""
+        w, b = wb
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=GRID_POINTS)
+        return y + b
 
     @nn.compact
-    def __call__(self, roi_feats):  # [N, 14, 14, C]
+    def __call__(self, roi_feats, train: bool = False):
+        """roi_feats [N, 14, 14, C] -> fused heatmaps [N, 28, 28, 9]
+        (+ unfused when ``train``)."""
+        c = self.point_channels
+        co = c * GRID_POINTS
         x = roi_feats
-        for i in range(4):
-            x = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1)] * 2,
-                                name=f"conv{i}")(x))
-        x = nn.ConvTranspose(64, (2, 2), strides=(2, 2), name="deconv")(x)
-        x = nn.relu(x)
-        return nn.Conv(4, (1, 1), name="heatmaps")(x)  # [N, 28, 28, 4]
+        for i in range(8):
+            x = nn.Conv(co, (3, 3), strides=(2, 2) if i == 0 else (1, 1),
+                        padding=[(1, 1)] * 2, name=f"conv{i}")(x)
+            x = nn.GroupNorm(num_groups=36, epsilon=1e-5, name=f"gn{i}")(x)
+            x = nn.relu(x)
+        # x [N, 7, 7, 576], channel layout = 9 point-major groups of 64
+
+        def pt(t, i):
+            return t[..., i * c:(i + 1) * c]
+
+        # first-order fusion: each point += transitions of its neighbors
+        x_fo = []
+        for i, nbrs in enumerate(GRID_NEIGHBORS):
+            acc = pt(x, i)
+            for j, p in enumerate(nbrs):
+                acc = acc + self._trans(pt(x, p), f"fo{i}_{j}")
+            x_fo.append(acc)
+        # second-order fusion over the first-order features
+        x_so = []
+        for i, nbrs in enumerate(GRID_NEIGHBORS):
+            acc = pt(x, i)
+            for j, p in enumerate(nbrs):
+                acc = acc + self._trans(x_fo[p], f"so{i}_{j}")
+            x_so.append(acc)
+
+        norm1 = nn.GroupNorm(num_groups=GRID_POINTS, epsilon=1e-5,
+                             name="gn_deconv")
+        d1 = self._gdeconv_params(co, co, "deconv1")
+        # deconv2 bias -log(0.99/0.01) (grid_head.py:149)
+        d2 = self._gdeconv_params(co, GRID_POINTS, "deconv2",
+                                  bias_init=-float(np.log(99.0)))
+
+        # shared deconv stack applied to fused (and, in training, unfused)
+        def run(feat):
+            y = nn.relu(norm1(self._gdeconv(feat, d1)))
+            return self._gdeconv(y, d2)
+
+        fused = run(jnp.concatenate(x_so, axis=-1))
+        if not train:
+            return fused
+        return fused, run(x)
 
 
 class GridRCNN(nn.Module):
@@ -562,8 +678,8 @@ class GridRCNN(nn.Module):
     def cls_forward(self, roi_feats):
         return self.base.bbox_forward(roi_feats)
 
-    def grid_forward(self, roi_feats14):
-        return self.grid_head(roi_feats14)
+    def grid_forward(self, roi_feats14, train: bool = False):
+        return self.grid_head(roi_feats14, train)
 
     def __call__(self, imgs):
         _, neck = self.extract_feat(imgs)
@@ -598,45 +714,85 @@ def grid_rcnn_loss(model: GridRCNN, params, batch: DetTrainBatch,
     cs, bp = model.apply(params, rf, method=GridRCNN.cls_forward)
     roi = bh.bbox_loss(cs, bp, tgts, num_classes=cfg.num_classes)
 
-    rf14 = model.apply(params, neck[0], tgts.rois, binds,
-                       method=GridRCNN.roi_feats14)
-    grids = model.apply(params, rf14, method=GridRCNN.grid_forward)
-    # border targets: where each gt border lies inside the (expanded) roi
-    n, gh, gw, _ = grids.shape
-    x1, y1, x2, y2 = [tgts.rois[:, i] for i in range(4)]
-    rw = jnp.maximum(x2 - x1, 1.0)
-    rh = jnp.maximum(y2 - y1, 1.0)
-    gt = tgts.bbox_targets  # encoded deltas — recover absolute via targets
-    # use matched gt borders projected into roi coords via the stored
-    # regression targets is indirect; instead supervise against the roi's
-    # own sampled gt box by decoding the targets:
+    # random jitter of the positive proposals (grid_roi_head.py:38-61)
     from ...core.boxes import delta2bbox
 
+    rng_jit = jax.random.fold_in(rng, 7)
+    off = jax.random.uniform(rng_jit, (tgts.rois.shape[0], 4),
+                             minval=-0.15, maxval=0.15)
+    cxcy = (tgts.rois[:, 2:] + tgts.rois[:, :2]) / 2
+    wh = jnp.abs(tgts.rois[:, 2:] - tgts.rois[:, :2])
+    ncxcy = cxcy + wh * off[:, :2]
+    nwh = wh * (1 + off[:, 2:])
+    jit = jnp.concatenate([ncxcy - nwh / 2, ncxcy + nwh / 2], axis=-1)
+    lim = jnp.asarray([batch.img_shape[1] - 1, batch.img_shape[0] - 1] * 2,
+                      jnp.float32)
+    jit = jnp.clip(jit, 0.0, lim)
+    grid_rois = jnp.where(tgts.is_pos[:, None], jit, tgts.rois)
+
+    rf14 = model.apply(params, neck[0], grid_rois, binds,
+                       method=GridRCNN.roi_feats14)
+    fused, unfused = model.apply(params, rf14, True,
+                                 method=GridRCNN.grid_forward)
+    # matched gt boxes, recovered by decoding the stored regression targets
+    # against the UNjittered rois (the gt is jitter-invariant)
     dec = delta2bbox(tgts.rois, tgts.bbox_targets, stds=bh.BBOX_STDS)
-    bx1 = jnp.clip((dec[:, 0] - x1) / rw, 0, 0.999)
-    by1 = jnp.clip((dec[:, 1] - y1) / rh, 0, 0.999)
-    bx2 = jnp.clip((dec[:, 2] - x1) / rw, 0, 0.999)
-    by2 = jnp.clip((dec[:, 3] - y1) / rh, 0, 0.999)
-
-    def border_ce(hm, coord, axis_len, horizontal):
-        # hm [N, gh, gw]; supervise the 1-D marginal along the border axis:
-        # x-borders live on the width axis (reduce height), y-borders on the
-        # height axis (reduce width)
-        tgt_idx = (coord * axis_len).astype(jnp.int32)
-        marg = jax.nn.log_softmax(hm.mean(axis=1 if horizontal else 2),
-                                  axis=-1)
-        return -jnp.take_along_axis(marg, tgt_idx[:, None], axis=1)[:, 0]
-
-    ce = (border_ce(grids[..., 0], bx1, gw, True)
-          + border_ce(grids[..., 1], by1, gh, False)
-          + border_ce(grids[..., 2], bx2, gw, True)
-          + border_ce(grids[..., 3], by2, gh, False))
+    targets = grid_targets(grid_rois, dec)
     w = tgts.is_pos.astype(jnp.float32)
-    loss_grid = jnp.sum(ce * w) / jnp.maximum(w.sum(), 1.0)
+    denom = jnp.maximum(w.sum(), 1.0) * GRID_POINTS * GRID_HALF * GRID_HALF
+
+    def bce(hm):
+        p = hm.astype(jnp.float32)
+        ce = (jnp.maximum(p, 0) - p * targets
+              + jnp.log1p(jnp.exp(-jnp.abs(p))))
+        return jnp.sum(ce * w[:, None, None, None]) / denom
+
+    # CrossEntropyLoss(use_sigmoid=True, loss_weight=15) on BOTH heatmap
+    # sets (grid_head.py:289-293)
+    loss_grid = 15.0 * (bce(fused) + bce(unfused))
 
     total = ls.loss_cls + ls.loss_bbox + roi.loss_cls + loss_grid
     return total, {"loss": total, "loss_cls": roi.loss_cls,
                    "loss_grid": loss_grid}
+
+
+def grid_targets(pos_boxes: jnp.ndarray, gt_boxes: jnp.ndarray,
+                 pos_radius: int = 1) -> jnp.ndarray:
+    """Exact grid_head.get_targets (grid_head.py:221-284): rois expanded
+    2x, each of the 9 gt grid points rendered as a radius-``pos_radius``
+    circle on the 56x56 whole map (int-truncated center), then each point's
+    28x28 sub-region cropped out. pos_boxes/gt_boxes [N, 4] ->
+    [N, 28, 28, 9] (NHWC, point-last)."""
+    ex1 = pos_boxes[:, 0] - (pos_boxes[:, 2] - pos_boxes[:, 0]) / 2
+    ey1 = pos_boxes[:, 1] - (pos_boxes[:, 3] - pos_boxes[:, 1]) / 2
+    ex2 = pos_boxes[:, 2] + (pos_boxes[:, 2] - pos_boxes[:, 0]) / 2
+    ey2 = pos_boxes[:, 3] + (pos_boxes[:, 3] - pos_boxes[:, 1]) / 2
+    ws = ex2 - ex1
+    hs = ey2 - ey1
+
+    fx = jnp.asarray([1 - (i // GRID_SIZE) / (GRID_SIZE - 1)
+                      for i in range(GRID_POINTS)], jnp.float32)
+    fy = jnp.asarray([1 - (i % GRID_SIZE) / (GRID_SIZE - 1)
+                      for i in range(GRID_POINTS)], jnp.float32)
+    gx = fx[None] * gt_boxes[:, 0:1] + (1 - fx)[None] * gt_boxes[:, 2:3]
+    gy = fy[None] * gt_boxes[:, 1:2] + (1 - fy)[None] * gt_boxes[:, 3:4]
+    # int() truncation toward zero, as torch (grid_head.py:263-266)
+    cx = ((gx - ex1[:, None]) / jnp.maximum(ws, 1e-6)[:, None]
+          * GRID_WHOLE).astype(jnp.int32)
+    cy = ((gy - ey1[:, None]) / jnp.maximum(hs, 1e-6)[:, None]
+          * GRID_WHOLE).astype(jnp.int32)
+
+    subx = jnp.asarray([s[0] for s in GRID_SUBS], jnp.int32)
+    suby = jnp.asarray([s[1] for s in GRID_SUBS], jnp.int32)
+    xs = jnp.arange(GRID_HALF, dtype=jnp.int32)[None, :] + subx[:, None]
+    ys = jnp.arange(GRID_HALF, dtype=jnp.int32)[None, :] + suby[:, None]
+    d2 = ((xs[None, :, None, :] - cx[:, :, None, None]) ** 2
+          + (ys[None, :, :, None] - cy[:, :, None, None]) ** 2)
+    tgt = (d2 <= pos_radius * pos_radius)
+    # ignore small bboxes: expanded w/h <= grid_size (grid_head.py:255-257)
+    ok = (ws > GRID_SIZE) & (hs > GRID_SIZE)
+    tgt = tgt & ok[:, None, None, None]
+    return jnp.transpose(tgt, (0, 2, 3, 1)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -694,36 +850,52 @@ def point_rend_detect(model: PointRendRCNN, params, img, img_shape, anchors,
     return dets, masks
 
 
-def grid_borders_decode(grids: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-    """Decode border heatmaps into boxes: each border is the soft-argmax of
-    its 1-D marginal over the roi window. grids [N, gh, gw, 4] (channels
-    x1, y1, x2, y2), boxes [N, 4] roi windows. x-borders live on the width
-    axis (the height axis is reduced) and vice versa — the same axis
-    convention the train loss supervises."""
-    gh, gw = grids.shape[1], grids.shape[2]
-    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
-    rw = jnp.maximum(x2 - x1, 1.0)
-    rh = jnp.maximum(y2 - y1, 1.0)
+def grid_points_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
+                       img_shape) -> jnp.ndarray:
+    """Exact grid_head.get_bboxes (grid_head.py:295-359): per-point argmax
+    over its 28x28 sub-heatmap, positions lifted into the 56x56 whole map
+    (sub-region offsets), mapped to absolute coordinates in the 2x-expanded
+    roi frame, then each border is the confidence-weighted vote of its 3
+    boundary grid points. heatmaps [N, 28, 28, 9] logits, boxes [N, 4]."""
+    n, hh, ww, gp = heatmaps.shape
+    probs = jax.nn.sigmoid(heatmaps.astype(jnp.float32))
+    flat = jnp.transpose(probs, (0, 3, 1, 2)).reshape(n, gp, hh * ww)
+    idx = jnp.argmax(flat, axis=-1)
+    scores = jnp.max(flat, axis=-1)  # [N, 9]
+    subx = jnp.asarray([s[0] for s in GRID_SUBS], jnp.float32)
+    suby = jnp.asarray([s[1] for s in GRID_SUBS], jnp.float32)
+    xs = (idx % ww).astype(jnp.float32) + subx[None]
+    ys = (idx // ww).astype(jnp.float32) + suby[None]
 
-    def border(hm, axis_len, horizontal):
-        marg = jax.nn.softmax(
-            hm.astype(jnp.float32).mean(axis=1 if horizontal else 2), axis=-1)
-        pos = jnp.arange(axis_len, dtype=jnp.float32) + 0.5
-        return jnp.sum(marg * pos[None], axis=-1) / axis_len  # [N] in (0,1)
+    widths = (boxes[:, 2] - boxes[:, 0])[:, None]
+    heights = (boxes[:, 3] - boxes[:, 1])[:, None]
+    x1e = boxes[:, 0:1] - widths / 2
+    y1e = boxes[:, 1:2] - heights / 2
+    abs_x = (xs + 0.5) / ww * widths + x1e
+    abs_y = (ys + 0.5) / hh * heights + y1e
 
-    bx1 = x1 + border(grids[..., 0], gw, True) * rw
-    by1 = y1 + border(grids[..., 1], gh, False) * rh
-    bx2 = x1 + border(grids[..., 2], gw, True) * rw
-    by2 = y1 + border(grids[..., 3], gh, False) * rh
-    return jnp.stack([jnp.minimum(bx1, bx2), jnp.minimum(by1, by2),
-                      jnp.maximum(bx1, bx2), jnp.maximum(by1, by2)], axis=-1)
+    # boundary point index sets (column-major order: i = x_idx*3 + y_idx)
+    x1i, y1i = jnp.asarray([0, 1, 2]), jnp.asarray([0, 3, 6])
+    x2i, y2i = jnp.asarray([6, 7, 8]), jnp.asarray([2, 5, 8])
+
+    def vote(vals, inds):
+        s = scores[:, inds]
+        return jnp.sum(vals[:, inds] * s, -1) / jnp.maximum(
+            jnp.sum(s, -1), 1e-6)
+
+    bx1, by1 = vote(abs_x, x1i), vote(abs_y, y1i)
+    bx2, by2 = vote(abs_x, x2i), vote(abs_y, y2i)
+    out = jnp.stack([bx1, by1, bx2, by2], axis=-1)
+    lim = jnp.asarray([img_shape[1], img_shape[0]] * 2, jnp.float32)
+    return jnp.clip(out, 0.0, lim)
 
 
 def grid_rcnn_detect(model: GridRCNN, params, img, img_shape, anchors,
                      scale_factor=None):
-    """grid_rcnn.py simple_test: proposals -> cls scores (no reg deltas);
-    boxes localized by the grid head's border heatmaps — each border is the
-    soft-argmax of its 1-D marginal over the roi window."""
+    """grid_roi_head.py simple_test: bbox head scores the proposals WITHOUT
+    regression (grid_rcnn config with_reg=False) and multiclass NMS picks
+    the detections FIRST; the grid head then re-localizes those det boxes
+    via the 9-point heatmaps (get_bboxes), and rescale happens last."""
     cfg = model.cfg
     _, neck = model.apply(params, img[None], method=GridRCNN.extract_feat)
     cls, reg = model.apply(params, neck, method=GridRCNN.rpn_forward)
@@ -737,18 +909,17 @@ def grid_rcnn_detect(model: GridRCNN, params, img, img_shape, anchors,
     cls_score, _ = model.apply(params, rf, method=GridRCNN.cls_forward)
     scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
 
-    rf14 = model.apply(params, neck[0], props.boxes, binds,
-                       method=GridRCNN.roi_feats14)
-    grids = model.apply(params, rf14, method=GridRCNN.grid_forward)
-    boxes = grid_borders_decode(grids, props.boxes)
-    boxes = jnp.clip(boxes, 0.0,
-                     jnp.asarray([img_shape[1], img_shape[0]] * 2,
-                                 jnp.float32))
-    if scale_factor is not None:
-        boxes = boxes / jnp.asarray(scale_factor)
-    return nms_ops.multiclass_nms(boxes, scores, score_thr=1e-4,
+    dets = nms_ops.multiclass_nms(props.boxes, scores, score_thr=1e-4,
                                   iou_threshold=0.5, max_num=100,
                                   box_valid=props.valid)
+    dbinds = jnp.zeros((dets.boxes.shape[0],), jnp.int32)
+    rf14 = model.apply(params, neck[0], dets.boxes, dbinds,
+                       method=GridRCNN.roi_feats14)
+    grids = model.apply(params, rf14, method=GridRCNN.grid_forward)
+    boxes = grid_points_decode(grids, dets.boxes, img_shape)
+    if scale_factor is not None:
+        boxes = boxes / jnp.asarray(scale_factor)
+    return dets._replace(boxes=boxes)
 
 
 def trident_detect(model: TridentFasterRCNN, params, img, img_shape, anchors,

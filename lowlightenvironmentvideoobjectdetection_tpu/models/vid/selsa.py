@@ -52,8 +52,13 @@ class SelsaConfig:
     # image bucket (padded), divisible by 32: reference trains at (1000, 600)
     pad_h: int = 608
     pad_w: int = 1024
-    # proposals
-    train_nms_pre: int = 2000  # reference uses 6000; 2000 is perf/quality balanced
+    # proposals. TRAINING default follows the reference exactly (rpn nms_pre
+    # 6000, faster_rcnn_r50_dc5.py:25-29): the proposal pool feeds the
+    # sampled-negative distribution, and 2000-vs-6000 equivalence was only
+    # ever measured for inference recall (tools/bench_nms_pre.py), not the
+    # training distribution (VERDICT r3 #10). Inference keeps the measured
+    # 2000 window.
+    train_nms_pre: int = 6000
     train_nms_post: int = 600
     test_nms_pre: int = 2000
     test_nms_post: int = 300

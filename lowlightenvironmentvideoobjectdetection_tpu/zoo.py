@@ -205,6 +205,18 @@ def build_tracktor(det_params=None, num_classes: int = 1,
                     linear_motion_num_samples=linear_motion_num_samples)
 
 
+@MODELS.register("NASFPNRetinaNet")
+def build_nasfpn_retinanet(num_classes: int = 80, depth: int = 50, **kw):
+    """NAS-FPN RetinaNet (reference: mmdetection/configs/nas_fpn/ — NASFPN
+    neck + RetinaSepBNHead with per-level norm, shared conv kernels)."""
+    from .models.dense_heads.retina_head import (
+        NASFPNRetinaNet, retina_anchor_generator,
+    )
+
+    return NASFPNRetinaNet(num_classes=num_classes, depth=depth, **kw), \
+        retina_anchor_generator()
+
+
 @MODELS.register("RetinaNet")
 def build_retinanet(num_classes: int = 80, depth: int = 50, **kw):
     """Single-stage RetinaNet (reference: mmdet/models/detectors/retinanet.py

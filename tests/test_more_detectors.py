@@ -384,3 +384,39 @@ class TestGFL:
         from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
 
         assert "GFL" in MODELS
+
+
+class TestRetinaSepBN:
+    def test_shared_kernels_separate_norms(self):
+        """RetinaSepBNHead's defining structure (retina_sepbn_head.py:62-65):
+        conv kernels shared across the 5 levels, norm affines separate per
+        level per stack."""
+        from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.retina_head import (
+            RetinaSepBNHead,
+        )
+
+        head = RetinaSepBNHead(num_classes=4, num_ins=5, feat_channels=32,
+                               stacked_convs=2, dtype=jnp.float32)
+        feats = [jnp.zeros((1, s, s, 32)) for s in (16, 8, 4, 4, 2)]
+        variables = head.init(jax.random.PRNGKey(0), feats)
+        p = variables["params"]
+        assert sorted(k for k in p if k.startswith("cls_conv")) == [
+            "cls_conv0", "cls_conv1"]  # 2 shared kernels, not 2x5
+        bn_scales = [k for k in p if k.startswith("cls_bn")
+                     and k.endswith("scale")]
+        assert len(bn_scales) == 5 * 2  # separate affine per level per stack
+        outs = head.apply(variables, feats)
+        assert len(outs) == 5
+        assert outs[0][0].shape == (1, 16, 16, 9 * 4)
+        assert outs[0][1].shape == (1, 16, 16, 9 * 4)
+
+    def test_nasfpn_retinanet_forward_and_zoo(self):
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa
+
+        model, gen = MODELS.get("NASFPNRetinaNet")(
+            num_classes=3, stack_times=1, dtype=jnp.float32)
+        imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        outs = jax.jit(model.apply)(params, imgs)
+        assert len(outs) == 5

@@ -28,9 +28,6 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.ssd import (
     ssd_loss,
     ssd_num_anchors,
 )
-from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.more_rcnn import (
-    grid_borders_decode,
-)
 from lowlightenvironmentvideoobjectdetection_tpu.core.assigners import (
     max_iou_assign,
 )
@@ -180,53 +177,3 @@ class TestSSDLossGolden:
         np.testing.assert_allclose(float(out.loss_bbox), want_bbox,
                                    rtol=1e-4)
         assert pos.sum() >= 2  # the fixture actually exercises positives
-
-
-# --------------------------------------------------------------------------
-# GridRCNN border decode semantics
-# --------------------------------------------------------------------------
-
-
-class TestGridBorderDecode:
-    def test_peaked_heatmaps_roundtrip(self):
-        """Column/row-peaked heatmaps decode to the peak's bin center."""
-        gh = gw = 28
-        roi = np.asarray([[10.0, 20.0, 66.0, 104.0]], np.float32)
-        rw, rh = 56.0, 84.0
-        ix1, iy1, ix2, iy2 = 4, 7, 21, 25
-        grids = np.zeros((1, gh, gw, 4), np.float32)
-        grids[0, :, ix1, 0] = 50.0   # x1: peak in a COLUMN
-        grids[0, iy1, :, 1] = 50.0   # y1: peak in a ROW
-        grids[0, :, ix2, 2] = 50.0
-        grids[0, iy2, :, 3] = 50.0
-        got = np.asarray(grid_borders_decode(jnp.asarray(grids),
-                                             jnp.asarray(roi)))[0]
-        want = np.asarray([
-            10.0 + (ix1 + 0.5) / gw * rw,
-            20.0 + (iy1 + 0.5) / gh * rh,
-            10.0 + (ix2 + 0.5) / gw * rw,
-            20.0 + (iy2 + 0.5) / gh * rh,
-        ])
-        np.testing.assert_allclose(got, want, atol=1e-3)
-
-    def test_x_border_ignores_row_structure(self):
-        """Moving a ROW peak must not move the decoded x-borders (regression
-        for the gh==gw marginal-axis muddle: x borders were read off the
-        height marginal)."""
-        gh = gw = 28
-        roi = jnp.asarray([[0.0, 0.0, 56.0, 56.0]])
-        base = np.zeros((1, gh, gw, 4), np.float32)
-        base[0, :, 9, 0] = 50.0   # x1 column peak
-        moved = base.copy()
-        moved[0, 3, :, 0] += 1.0  # add a row-structure perturbation
-        a = np.asarray(grid_borders_decode(jnp.asarray(base), roi))[0]
-        b = np.asarray(grid_borders_decode(jnp.asarray(moved), roi))[0]
-        # decoded x1 stays at the column-peak bin
-        np.testing.assert_allclose(a[0], (9 + 0.5) / gw * 56.0, atol=1e-3)
-        np.testing.assert_allclose(b[0], a[0], atol=0.25)
-        # ...while moving the COLUMN does move it
-        moved2 = np.zeros_like(base)
-        moved2[0, :, 20, 0] = 50.0
-        moved2[0, :, 26, 2] = 50.0  # keep x2 right of x1 (decode sorts pairs)
-        c2 = np.asarray(grid_borders_decode(jnp.asarray(moved2), roi))[0]
-        assert abs(c2[0] - (20 + 0.5) / gw * 56.0) < 1e-3
