@@ -256,15 +256,18 @@ def dff_inference_step(
     cfg = model.cfg
     is_key = state.frames_since_key % model.key_frame_interval == 0
 
+    # both cond branches must agree on dtype: the neck emits compute_dtype
+    # (bf16 on TPU) while the flow warp runs in f32 — pin the carried
+    # feature to compute_dtype on both paths
     def key_branch(_):
         _, neck = model.apply(params, frame[None], method=DFF.extract_feat)
-        return neck[0], frame
+        return neck[0].astype(cfg.compute_dtype), frame
 
     def warp_branch(_):
         warped = model.apply(
             params, state.key_img, state.key_feat, frame, method=DFF.warp_from_key
         )
-        return warped, state.key_img
+        return warped.astype(cfg.compute_dtype), state.key_img
 
     feat, key_img = jax.lax.cond(is_key, key_branch, warp_branch, None)
     new_state = DFFState(

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.model
+pytestmark = [pytest.mark.model, pytest.mark.slow]
 
 from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.dark_resnet import (
     DARK_VARIANTS,

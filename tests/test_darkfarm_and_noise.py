@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.model
+pytestmark = [pytest.mark.model, pytest.mark.slow]
 
 from lowlightenvironmentvideoobjectdetection_tpu.ops import noise as N
 from lowlightenvironmentvideoobjectdetection_tpu.ops import unprocess as U

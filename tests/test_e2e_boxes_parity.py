@@ -28,7 +28,7 @@ star). Two layers of evidence:
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.model
+pytestmark = [pytest.mark.model, pytest.mark.slow]
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402

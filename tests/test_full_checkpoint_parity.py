@@ -27,7 +27,7 @@ import math
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.model
+pytestmark = [pytest.mark.model, pytest.mark.slow]
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402

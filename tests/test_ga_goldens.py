@@ -228,6 +228,7 @@ def test_ga_squares_match_numpy_generator():
     np.testing.assert_allclose(sq, ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ga_retina_loss_shape_branch_descends():
     """Setting the shape pred to the exact log(gt/square) ratio at positive
     squares must lower loss_shape vs zeros."""

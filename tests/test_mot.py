@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.model
+pytestmark = [pytest.mark.model, pytest.mark.slow]
 
 from lowlightenvironmentvideoobjectdetection_tpu.core.eval.mot import eval_mot
 from lowlightenvironmentvideoobjectdetection_tpu.core.motion.kalman import KalmanFilter

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.model, pytest.mark.slow]
+
 
 class TestInferenceSOT:
     def test_streaming_track(self):

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.model, pytest.mark.slow]
+
 from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
     ResNet,
     StemConv,

@@ -9,7 +9,7 @@ torch ResNet-50 with torchvision-compatible state-dict key names
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.model
+pytestmark = [pytest.mark.model, pytest.mark.slow]
 
 torch = pytest.importorskip("torch")
 nn = torch.nn
