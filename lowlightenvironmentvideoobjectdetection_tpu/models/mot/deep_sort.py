@@ -75,6 +75,18 @@ class DeepSORT:
                 lambda p, img, boxes: reid.apply(p, crop_and_resize(img, boxes))
             )
             self._reid_step = lambda img, boxes: _reid(self.reid_params, img, boxes)
+            # fused detect + ReID-on-every-det: ONE device round trip per
+            # frame. The private-detection path otherwise pays 1 (detect) +
+            # ceil(N/32) (reid) host syncs per frame — on a remote-TPU
+            # tunnel each sync is ~30 ms of RTT, 5x the compute itself.
+            def _fused(det_p, reid_p, a, img, shape):
+                dets = faster_rcnn_detect(detector, det_p, img, shape, a)
+                embeds = reid.apply(reid_p, crop_and_resize(img, dets.boxes))
+                return dets, embeds
+
+            _fused = jax.jit(_fused)
+            self._det_reid_step = lambda img, shape: _fused(
+                self.det_params, self.reid_params, anchors, img, shape)
 
     def reset(self):
         self.tracker.reset()
@@ -84,22 +96,40 @@ class DeepSORT:
         """One frame -> dict(det_bboxes [N,5], track_bboxes [M,6])."""
         if frame_id == 0:
             self.tracker.reset()
+        embeds = None
         if public_bboxes is None:
-            dets = self._det_step(img, jnp.asarray(img_shape, jnp.float32))
-            valid = np.asarray(dets.valid)
-            boxes = np.asarray(dets.boxes)[valid]
-            scores = np.asarray(dets.scores)[valid]
-            labels = np.asarray(dets.labels)[valid]
+            # ONE batched device_get for the whole frame result: per-array
+            # np.asarray readbacks each pay a full round trip on remote-TPU
+            # tunnels (~30 ms apiece, 5 of them dominated the frame time)
+            if self.reid is not None:
+                dets, all_embeds = jax.device_get(self._det_reid_step(
+                    img, jnp.asarray(img_shape, jnp.float32)))
+                valid = dets.valid
+                embeds = all_embeds[valid]
+            else:
+                dets = jax.device_get(
+                    self._det_step(img, jnp.asarray(img_shape, jnp.float32)))
+                valid = dets.valid
+            boxes = dets.boxes[valid]
+            scores = dets.scores[valid]
+            labels = dets.labels[valid]
         else:
             boxes = public_bboxes[:, :4]
             scores = public_bboxes[:, 4]
             labels = np.zeros(len(boxes), np.int64)
 
-        embeds = None
-        if self.reid is not None and len(boxes):
-            pad = np.zeros((max(0, 32 - len(boxes)), 4), np.float32)
-            padded = jnp.asarray(np.concatenate([boxes, pad])[:32])
-            embeds = np.asarray(self._reid_step(img, padded))[: len(boxes)]
+        if self.reid is not None and embeds is None and len(boxes):
+            # public-detection path: fixed 32-crop ReID batches (static
+            # shape), chunked so EVERY det gets an embedding (the reference
+            # embeds all crops, sort_tracker.py reid path)
+            chunks = []
+            for s in range(0, len(boxes), 32):
+                part = boxes[s:s + 32]
+                pad = np.zeros((32 - len(part), 4), np.float32)
+                padded = jnp.asarray(np.concatenate([part, pad]))
+                chunks.append(np.asarray(self._reid_step(img, padded))
+                              [: len(part)])
+            embeds = np.concatenate(chunks, axis=0)
 
         ids, keep = self.tracker.track(frame_id, boxes, scores, labels, embeds)
         m = ids >= 0

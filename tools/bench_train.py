@@ -46,7 +46,7 @@ def _rand_batch_common(rng, frames, h, w, chans):
     return imgs, jnp.asarray(gt), jnp.asarray(rng.randint(0, 5, 8), jnp.int32)
 
 
-def _make_selsa(tiny):
+def _make_selsa(tiny, packed=0):
     from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
         SelsaConfig, SelsaDetector, TrainBatch, init_params, make_anchors,
         selsa_loss,
@@ -54,12 +54,21 @@ def _make_selsa(tiny):
 
     kw = dict(pad_h=64, pad_w=64, train_nms_pre=64, train_nms_post=16,
               num_roi_samples=16, compute_dtype=jnp.float32) if tiny else {}
+    if packed:
+        kw["input_packed"] = packed
     cfg = SelsaConfig(**kw)
     model = SelsaDetector(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), small=True)
     anchors = make_anchors(cfg)
     rng = np.random.RandomState(0)
     imgs, gt, gl = _rand_batch_common(rng, 3, cfg.pad_h, cfg.pad_w, 3)
+    if packed:
+        from lowlightenvironmentvideoobjectdetection_tpu.models.backbones.resnet import (
+            pack_frame,
+        )
+
+        for _ in range(packed):
+            imgs = pack_frame(imgs)
     batch = TrainBatch(
         imgs=imgs, img_shape=jnp.asarray([600.0, 1000.0] if not tiny
                                          else [64.0, 64.0]),
@@ -72,7 +81,7 @@ def _make_selsa(tiny):
     return params, batch, loss_fn
 
 
-def _make_flagship(tiny):
+def _make_flagship(tiny, agg_taf=True, agg_rdb=True, with_aggregator=True):
     import dataclasses
 
     from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
@@ -87,8 +96,9 @@ def _make_flagship(tiny):
               num_roi_samples=16, compute_dtype=jnp.float32) if tiny else {}
     scfg = dataclasses.replace(
         SelsaConfig(**kw), num_classes=8, out_indices=(0, 1, 2, 3, 3))
-    cfg = DarkfarmConfig(selsa=scfg, with_aggregator=True, agg_rdb=True,
-                         agg_taf=True, with_cleaner=True, loss_type="l1")
+    cfg = DarkfarmConfig(selsa=scfg, with_aggregator=with_aggregator,
+                         agg_rdb=agg_rdb, agg_taf=agg_taf,
+                         with_cleaner=True, loss_type="l1")
     model = SelsaDarkfarmDetector(cfg=cfg)
     params = init_darkfarm_params(model, jax.random.PRNGKey(0))
     anchors = make_anchors(scfg)
@@ -168,17 +178,29 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model", default="both",
                    choices=["both", "selsa", "flagship"])
+    p.add_argument("--packed", type=int, default=0,
+                   help="input_packed level for the SELSA train path (A/B)")
     p.add_argument("--peak-tflops", type=float, default=DEFAULT_PEAK_TFLOPS)
+    # flagship hotspot A/B knobs
+    p.add_argument("--no-taf", action="store_true")
+    p.add_argument("--no-rdb", action="store_true")
+    p.add_argument("--no-aggregator", action="store_true")
     args = p.parse_args()
 
     out = {"backend": jax.default_backend(),
            "device": str(jax.devices()[0])}
     if args.model in ("both", "selsa"):
-        out["selsa"] = _bench("selsa_r50_dc5", *_make_selsa(args.tiny),
+        out["selsa"] = _bench("selsa_r50_dc5",
+                              *_make_selsa(args.tiny, args.packed),
                               args.steps, args.peak_tflops)
+        if args.packed:
+            out["selsa"]["input_packed"] = args.packed
     if args.model in ("both", "flagship"):
         out["flagship"] = _bench(
-            "selsa_new_darkfarm", *_make_flagship(args.tiny),
+            "selsa_new_darkfarm",
+            *_make_flagship(args.tiny, agg_taf=not args.no_taf,
+                            agg_rdb=not args.no_rdb,
+                            with_aggregator=not args.no_aggregator),
             args.steps, args.peak_tflops)
     print(json.dumps(out))
 
