@@ -21,10 +21,46 @@ import numpy as np
 
 from ...core import assigners, boxes as box_ops, losses, nms as nms_ops
 
-# SSD300 anchor spec (ssd_head default cfg): strides, min/max sizes, ratios
+# SSD300 anchor spec (ssd300_coco config): strides, min/max sizes, ratios
 SSD_STRIDES = (8, 16, 32, 64, 100, 300)
-SSD_MIN_SIZES = (30, 60, 111, 162, 213, 264)
-SSD_MAX_SIZES = (60, 111, 162, 213, 264, 315)
+
+
+def ssd_sizes(input_size: int = 300,
+              basesize_ratio_range=(0.15, 0.9),
+              num_levels: int = 6):
+    """SSDAnchorGenerator's size-table derivation
+    (mmdet/core/anchor/anchor_generator.py:382-406): int-truncated ratio
+    steps plus the special-cased first level — (0.15, 0.9) is the ssd300
+    COCO config (first level 21/45), (0.2, 0.9) the VOC one (30/60)."""
+    mn, mx = basesize_ratio_range
+    min_ratio, max_ratio = int(mn * 100), int(mx * 100)
+    step = int(np.floor(max_ratio - min_ratio) / (num_levels - 2))
+    min_sizes, max_sizes = [], []
+    for ratio in range(min_ratio, max_ratio + 1, step):
+        min_sizes.append(int(input_size * ratio / 100))
+        max_sizes.append(int(input_size * (ratio + step) / 100))
+    if input_size == 300 and mn == 0.15:  # COCO
+        min_sizes.insert(0, int(input_size * 7 / 100))
+        max_sizes.insert(0, int(input_size * 15 / 100))
+    elif input_size == 300 and mn == 0.2:  # VOC
+        min_sizes.insert(0, int(input_size * 10 / 100))
+        max_sizes.insert(0, int(input_size * 20 / 100))
+    elif input_size == 512 and mn == 0.1:  # COCO
+        min_sizes.insert(0, int(input_size * 4 / 100))
+        max_sizes.insert(0, int(input_size * 10 / 100))
+    elif input_size == 512 and mn == 0.15:  # VOC
+        min_sizes.insert(0, int(input_size * 7 / 100))
+        max_sizes.insert(0, int(input_size * 15 / 100))
+    else:
+        raise ValueError((input_size, basesize_ratio_range))
+    return tuple(min_sizes), tuple(max_sizes)
+
+
+# the ssd300_coco table: (21, 45, 99, 153, 207, 261) / (45, 99, ..., 315).
+# Round 4: the previous hard-coded table was the VOC one (30, 60, ...) on
+# both sides of its transcription golden — caught by running the
+# reference's own SSDAnchorGenerator (tests/test_ref_code_goldens.py).
+SSD_MIN_SIZES, SSD_MAX_SIZES = ssd_sizes()
 SSD_RATIOS = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
 
 

@@ -113,6 +113,8 @@ def _install_fakes():
     mmcv = types.ModuleType("mmcv")
     mmcv.jit = lambda **kw: (lambda fn: fn)
     mmcv.is_str = lambda x: isinstance(x, str)
+    mmcv.is_tuple_of = lambda seq, t: (isinstance(seq, tuple)
+                                       and all(isinstance(x, t) for x in seq))
     utils = types.ModuleType("mmcv.utils")
     utils.Registry = _Registry
     utils.build_from_cfg = _build_from_cfg
@@ -161,6 +163,14 @@ def load():
     _load_file("mmdet.utils.util_random", "utils/util_random.py")
     anchor_utils = _load_file("mmdet.core.anchor.utils", "core/anchor/utils.py")
     core.anchor_inside_flags = anchor_utils.anchor_inside_flags
+    _load_file("mmdet.core.anchor.builder", "core/anchor/builder.py")
+    anchor_gen = _load_file("mmdet.core.anchor.anchor_generator",
+                            "core/anchor/anchor_generator.py")
+    mmdet_anchor = sys.modules["mmdet.core.anchor"]
+    for n in ("AnchorGenerator", "SSDAnchorGenerator",
+              "LegacyAnchorGenerator", "YOLOAnchorGenerator"):
+        if hasattr(anchor_gen, n):
+            setattr(mmdet_anchor, n, getattr(anchor_gen, n))
 
     _load_file("mmdet.core.bbox.builder", "core/bbox/builder.py")
     transforms = _load_file("mmdet.core.bbox.transforms", "core/bbox/transforms.py")

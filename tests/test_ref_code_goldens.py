@@ -536,6 +536,81 @@ def test_random_sampler_oversubscribed_count_contract():
     assert np.all(assigned[np.asarray(got.neg_mask)] == 0)
 
 
+# -------------------------------------------------------- anchor generators
+
+
+def test_rpn_dc5_anchors_match_reference_generator():
+    """The canonical VID RPN anchor grid (stride 16, scales [4,8,16,32],
+    ratios [.5,1,2] — faster_rcnn_r50_dc5.py:25-29) vs the reference's own
+    AnchorGenerator."""
+    from lowlightenvironmentvideoobjectdetection_tpu.core.anchors import (
+        AnchorGenerator as RepoGen,
+    )
+
+    ref = mmdet.assigners.max_iou_assigner  # noqa: F841 (package loaded)
+    from mmdet.core.anchor import AnchorGenerator as RefGen
+
+    sizes = [(8, 8)]
+    got = RepoGen(strides=[16], ratios=[0.5, 1.0, 2.0],
+                  scales=[4, 8, 16, 32]).grid_anchors(sizes)[0]
+    want = RefGen(strides=[16], ratios=[0.5, 1.0, 2.0],
+                  scales=[4, 8, 16, 32]).grid_anchors(
+        [torch.Size(s) for s in sizes], device="cpu")[0]
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-3)
+
+
+def test_retina_anchors_match_reference_generator():
+    from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.retina_head import (
+        retina_anchor_generator,
+    )
+    from mmdet.core.anchor import AnchorGenerator as RefGen
+
+    sizes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    got = retina_anchor_generator().grid_anchors(sizes)
+    want = RefGen(strides=[8, 16, 32, 64, 128], ratios=[0.5, 1.0, 2.0],
+                  octave_base_scale=4, scales_per_octave=3).grid_anchors(
+        [torch.Size(s) for s in sizes], device="cpu")
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w.numpy(), rtol=1e-5, atol=1e-3)
+
+
+def test_atss_anchors_match_reference_generator():
+    from lowlightenvironmentvideoobjectdetection_tpu.models.dense_heads.atss_head import (
+        atss_anchors,
+    )
+    from mmdet.core.anchor import AnchorGenerator as RefGen
+
+    sizes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    got = atss_anchors(sizes)
+    want = RefGen(strides=[8, 16, 32, 64, 128], ratios=[1.0],
+                  octave_base_scale=8, scales_per_octave=1).grid_anchors(
+        [torch.Size(s) for s in sizes], device="cpu")
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), rtol=1e-5,
+                                   atol=1e-3)
+
+
+def test_ssd_anchors_match_reference_generator():
+    """ssd300 config generator (scale_major=False, basesize_ratio_range
+    (0.15, 0.9)) vs the reference's SSDAnchorGenerator — both values AND
+    per-cell anchor order (the order maps prediction channels)."""
+    from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.ssd import (
+        ssd_anchors,
+    )
+    from mmdet.core.anchor import SSDAnchorGenerator
+
+    sizes = [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+    got = ssd_anchors(sizes)
+    want = SSDAnchorGenerator(
+        scale_major=False, input_size=300, basesize_ratio_range=(0.15, 0.9),
+        strides=[8, 16, 32, 64, 100, 300],
+        ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]]).grid_anchors(
+        [torch.Size(s) for s in sizes], device="cpu")
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), rtol=1e-5,
+                                   atol=1e-3)
+
+
 # ------------------------------------------------- DETR aux decoder losses
 
 

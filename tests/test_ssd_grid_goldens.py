@@ -38,15 +38,18 @@ from lowlightenvironmentvideoobjectdetection_tpu.core.assigners import (
 # --------------------------------------------------------------------------
 
 
-def _np_ssd_sizes(input_size=300, ratio_range=(0.2, 0.9), num_levels=6):
+def _np_ssd_sizes(input_size=300, ratio_range=(0.15, 0.9), num_levels=6):
     min_ratio, max_ratio = int(ratio_range[0] * 100), int(ratio_range[1] * 100)
     step = int(np.floor(max_ratio - min_ratio) / (num_levels - 2))
     min_sizes, max_sizes = [], []
     for ratio in range(min_ratio, max_ratio + 1, int(step)):
         min_sizes.append(int(input_size * ratio / 100))
         max_sizes.append(int(input_size * (ratio + step) / 100))
-    min_sizes.insert(0, int(input_size * 10 / 100))
-    max_sizes.insert(0, int(input_size * 20 / 100))
+    # ssd300 COCO first level (anchor_generator.py:393-396);
+    # (0.2, 0.9) would be the VOC 30/60 level
+    first = 7 if ratio_range[0] == 0.15 else 10
+    min_sizes.insert(0, int(input_size * first / 100))
+    max_sizes.insert(0, int(input_size * (first + 8) / 100))
     return min_sizes, max_sizes
 
 
