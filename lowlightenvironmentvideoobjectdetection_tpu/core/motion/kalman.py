@@ -97,17 +97,75 @@ class KalmanFilter:
         z = np.linalg.solve(chol, d.T)
         return np.sum(z * z, axis=0)
 
+    # ---- batched-across-tracks variants (host perf): same math as the
+    # single-track methods above, vectorized so a frame with T tracks costs
+    # a handful of [T, 8, 8] einsums instead of T Python iterations — the
+    # per-track loop was the tracking loop's hotspot once the device side
+    # was pipelined (55 ms/frame at ~250 tracks on a 1-vCPU host).
+
+    def predict_batch(self, means: np.ndarray, covs: np.ndarray):
+        """means [T, 8], covs [T, 8, 8] -> predicted (means, covs)."""
+        h = np.maximum(means[:, 3], 1.0)
+        sp = self._std_weight_position * h
+        sv = self._std_weight_velocity * h
+        std = np.stack([sp, sp, np.full_like(sp, 1e-2), sp,
+                        sv, sv, np.full_like(sv, 1e-5), sv], axis=-1)
+        means = means @ self._motion_mat.T
+        covs = self._motion_mat @ covs @ self._motion_mat.T
+        idx = np.arange(8)
+        covs = covs.copy()
+        covs[:, idx, idx] += np.square(std)
+        return means, covs
+
+    def project_batch(self, means: np.ndarray, covs: np.ndarray):
+        """means [T, 8], covs [T, 8, 8] -> ([T, 4], [T, 4, 4])."""
+        h = np.maximum(means[:, 3], 1.0)
+        sp = self._std_weight_position * h
+        std = np.stack([sp, sp, np.full_like(sp, 1e-1), sp], axis=-1)
+        proj_cov = covs[:, :4, :4].copy()
+        idx = np.arange(4)
+        proj_cov[:, idx, idx] += np.square(std)
+        return means[:, :4].copy(), proj_cov
+
+    def gating_distance_batch(self, means, covs, measurements,
+                              only_position=False):
+        """Squared Mahalanobis distances [T, N] of [N, 4] xyah measurements
+        from each of T projected track distributions."""
+        proj_mean, proj_cov = self.project_batch(means, covs)
+        if only_position:
+            proj_mean = proj_mean[:, :2]
+            proj_cov = proj_cov[:, :2, :2]
+            measurements = measurements[:, :2]
+        chol = np.linalg.cholesky(proj_cov)
+        d = measurements[None, :, :] - proj_mean[:, None, :]  # [T, N, k]
+        z = np.linalg.solve(chol, d.transpose(0, 2, 1))  # [T, k, N]
+        return np.sum(z * z, axis=1)
+
+    def update_batch(self, means, covs, measurements):
+        """Batched correction: means [M, 8], covs [M, 8, 8],
+        measurements [M, 4] -> (new_means, new_covs)."""
+        proj_mean, proj_cov = self.project_batch(means, covs)
+        # K = C H^T P^-1 with H selecting the first 4 state dims; P symmetric
+        cht = covs[:, :, :4]  # C @ H^T
+        gain = np.linalg.solve(proj_cov, cht.transpose(0, 2, 1)) \
+            .transpose(0, 2, 1)  # [M, 8, 4]
+        innovation = measurements - proj_mean  # [M, 4]
+        new_means = means + (gain @ innovation[:, :, None])[:, :, 0]
+        new_covs = covs - gain @ proj_cov @ gain.transpose(0, 2, 1)
+        return new_means, new_covs
+
     def track(self, tracks: dict, bboxes: np.ndarray):
         """Batched predict + gating cost for all active tracks against [N, 4]
         xyah candidate boxes. Mutates tracks' mean/covariance (predict step)
         and returns (tracks, costs [num_tracks, N])."""
-        costs = []
-        for tid, track in tracks.items():
-            track.mean, track.covariance = self.predict(track.mean, track.covariance)
-            gating = self.gating_distance(
-                track.mean, track.covariance, bboxes, self.center_only
-            )
-            costs.append(gating)
-        if costs:
-            return tracks, np.stack(costs)
-        return tracks, np.zeros((0, len(bboxes)))
+        if not tracks:
+            return tracks, np.zeros((0, len(bboxes)))
+        tlist = list(tracks.values())
+        means = np.stack([t.mean for t in tlist])
+        covs = np.stack([t.covariance for t in tlist])
+        means, covs = self.predict_batch(means, covs)
+        costs = self.gating_distance_batch(means, covs, bboxes,
+                                           self.center_only)
+        for k, t in enumerate(tlist):
+            t.mean, t.covariance = means[k], covs[k]
+        return tracks, costs

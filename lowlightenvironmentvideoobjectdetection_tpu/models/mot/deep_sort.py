@@ -91,28 +91,58 @@ class DeepSORT:
     def reset(self):
         self.tracker.reset()
 
+    def dispatch_detect(self, img: jnp.ndarray, img_shape):
+        """Asynchronously enqueue detect(+ReID) for one frame.
+
+        JAX dispatch is async: this returns immediately with device arrays
+        that materialize when the device finishes. The tracker association
+        for a frame only depends on that frame's detections, so frame t+1's
+        detect can run on-device (and its dispatch/readback RTTs can be in
+        flight) while the host associates frame t — see ``track_video``.
+        """
+        shape = jnp.asarray(img_shape, jnp.float32)
+        if self.reid is not None:
+            out = self._det_reid_step(img, shape)
+        else:
+            out = self._det_step(img, shape)
+        # start the D2H transfer as soon as compute finishes (instead of at
+        # the blocking device_get): on a remote-TPU tunnel the transfer's
+        # round trip then overlaps the host-side association of the PREVIOUS
+        # frame rather than serializing after it
+        for leaf in jax.tree_util.tree_leaves(out):
+            leaf.copy_to_host_async()
+        return out
+
+    def _fetch_detections(self, pending):
+        """Block on a ``dispatch_detect`` handle -> host (boxes, scores,
+        labels, embeds). ONE batched device_get for the whole frame result:
+        per-array np.asarray readbacks each pay a full round trip on
+        remote-TPU tunnels (~30 ms apiece, 5 of them dominated the frame
+        time)."""
+        got = jax.device_get(pending)
+        embeds = None
+        if self.reid is not None:
+            dets, all_embeds = got
+            embeds = all_embeds[dets.valid]
+        else:
+            dets = got
+        valid = dets.valid
+        return dets.boxes[valid], dets.scores[valid], dets.labels[valid], embeds
+
     def track_frame(self, frame_id: int, img: jnp.ndarray, img_shape,
-                    public_bboxes: Optional[np.ndarray] = None):
-        """One frame -> dict(det_bboxes [N,5], track_bboxes [M,6])."""
+                    public_bboxes: Optional[np.ndarray] = None,
+                    prefetched=None):
+        """One frame -> dict(det_bboxes [N,5], track_bboxes [M,6]).
+
+        ``prefetched``: a ``dispatch_detect`` handle for THIS frame issued
+        earlier (pipelining); skips the synchronous dispatch."""
         if frame_id == 0:
             self.tracker.reset()
         embeds = None
         if public_bboxes is None:
-            # ONE batched device_get for the whole frame result: per-array
-            # np.asarray readbacks each pay a full round trip on remote-TPU
-            # tunnels (~30 ms apiece, 5 of them dominated the frame time)
-            if self.reid is not None:
-                dets, all_embeds = jax.device_get(self._det_reid_step(
-                    img, jnp.asarray(img_shape, jnp.float32)))
-                valid = dets.valid
-                embeds = all_embeds[valid]
-            else:
-                dets = jax.device_get(
-                    self._det_step(img, jnp.asarray(img_shape, jnp.float32)))
-                valid = dets.valid
-            boxes = dets.boxes[valid]
-            scores = dets.scores[valid]
-            labels = dets.labels[valid]
+            boxes, scores, labels, embeds = self._fetch_detections(
+                prefetched if prefetched is not None
+                else self.dispatch_detect(img, img_shape))
         else:
             boxes = public_bboxes[:, :4]
             scores = public_bboxes[:, 4]
@@ -139,6 +169,39 @@ class DeepSORT:
         det_bboxes = np.concatenate([boxes, scores[:, None]], axis=1)
         return dict(det_bboxes=det_bboxes, det_labels=labels,
                     track_bboxes=track_bboxes, track_labels=labels[m])
+
+    def track_video(self, imgs, img_shape):
+        """Pipelined streaming over a frame sequence (private-det path).
+
+        Double-buffered: frame t+1's detect+ReID is dispatched BEFORE
+        blocking on frame t's readback, so the device computes (and the
+        tunnel round-trips fly) while the host runs Kalman/LAP association
+        on frame t. Identical results to calling ``track_frame`` per frame
+        — the tracker state only ever consumes fetched detections in frame
+        order. ``imgs`` may be a list/array of frames or any iterable."""
+        from collections import deque
+
+        DEPTH = 3  # frames in flight: covers dispatch + readback RTTs
+        it = iter(imgs)
+        pending: deque = deque()
+        results = []
+        fid = 0
+        exhausted = False
+        while True:
+            while not exhausted and len(pending) < DEPTH:
+                try:
+                    nxt = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                pending.append(self.dispatch_detect(jnp.asarray(nxt),
+                                                    img_shape))
+            if not pending:
+                break
+            results.append(self.track_frame(fid, None, img_shape,
+                                            prefetched=pending.popleft()))
+            fid += 1
+        return results
 
 
 class Tracktor:

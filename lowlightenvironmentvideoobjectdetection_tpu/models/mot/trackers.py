@@ -175,7 +175,8 @@ class SortTracker(BaseTracker):
 
         # 1) ReID matching on confirmed tracks, gated by motion distance
         if embeds is not None and self.confirmed_ids:
-            conf_idx = [track_ids.index(t) for t in self.confirmed_ids]
+            pos = {t: k for k, t in enumerate(track_ids)}
+            conf_idx = [pos[t] for t in self.confirmed_ids]
             track_embeds = np.stack([self.tracks[t].embed for t in self.confirmed_ids])
             sim = track_embeds @ embeds.T / (
                 np.linalg.norm(track_embeds, axis=1, keepdims=True)
@@ -197,8 +198,8 @@ class SortTracker(BaseTracker):
         rest_tracks = [t for t in track_ids if t not in assigned_track]
         rest_dets = np.flatnonzero(valid & ~assigned_det)
         if rest_tracks and len(rest_dets):
-            t_boxes = np.stack(
-                [xyah2xyxy(self.tracks[t].mean[:4]) for t in rest_tracks]
+            t_boxes = xyah2xyxy(
+                np.stack([self.tracks[t].mean[:4] for t in rest_tracks])
             )
             ious = iou_matrix(t_boxes, bboxes[rest_dets])
             cost = 1.0 - ious
@@ -211,17 +212,29 @@ class SortTracker(BaseTracker):
                     assigned_det[di] = True
                     assigned_track.add(tid)
 
-        # update matched, spawn new for unmatched valid dets
-        for i in range(n):
-            if ids[i] >= 0:
-                self._update_matched(ids[i], frame_id, bboxes[i], scores[i],
-                                     labels[i],
-                                     None if embeds is None else embeds[i])
-            elif valid[i]:
-                ids[i] = self._new_track(
-                    frame_id, bboxes[i], scores[i], labels[i],
-                    None if embeds is None else embeds[i],
-                )
+        # update matched (batched Kalman correction across all matches),
+        # spawn new tracks for unmatched valid dets
+        matched = np.flatnonzero(ids >= 0)
+        if len(matched):
+            tids = [int(ids[i]) for i in matched]
+            means = np.stack([self.tracks[t].mean for t in tids])
+            covs = np.stack([self.tracks[t].covariance for t in tids])
+            new_means, new_covs = self.kf.update_batch(
+                means, covs, xyxy2xyah(bboxes[matched]))
+            for k, (i, tid) in enumerate(zip(matched, tids)):
+                t = self.tracks[tid]
+                t.mean, t.covariance = new_means[k], new_covs[k]
+                t.hits += 1
+                if t.tentative and t.hits >= self.num_tentatives:
+                    t.tentative = False
+                self.update_track(tid, frame_id, bboxes[i], scores[i],
+                                  labels[i],
+                                  None if embeds is None else embeds[i])
+        for i in np.flatnonzero(valid & (ids < 0)):
+            ids[i] = self._new_track(
+                frame_id, bboxes[i], scores[i], labels[i],
+                None if embeds is None else embeds[i],
+            )
         self.pop_invalid_tracks(frame_id)
         return ids, valid
 
@@ -231,16 +244,6 @@ class SortTracker(BaseTracker):
             frame_id, bbox, score, label, embed,
             mean=mean, covariance=cov, tentative=True, hits=1,
         )
-
-    def _update_matched(self, tid, frame_id, bbox, score, label, embed):
-        t = self.tracks[tid]
-        t.mean, t.covariance = self.kf.update(
-            t.mean, t.covariance, xyxy2xyah(bbox[None])[0]
-        )
-        t.hits += 1
-        if t.tentative and t.hits >= self.num_tentatives:
-            t.tentative = False
-        self.update_track(tid, frame_id, bbox, score, label, embed)
 
 
 class TracktorTracker(BaseTracker):

@@ -143,3 +143,29 @@ class TestTrackEvalRoutes:
         for key in ("success", "precision", "norm_precision"):
             assert key in summary["sot"]
             assert np.isfinite(summary["sot"][key])
+
+
+@pytest.mark.slow
+class TestPipelinedTracking:
+    def test_track_video_equals_per_frame(self):
+        """Double-buffered track_video must be bit-identical to the
+        sequential track_frame loop (deep_sort.py track_video): pipelining
+        only reorders DISPATCH, the tracker still consumes detections in
+        frame order."""
+        from lowlightenvironmentvideoobjectdetection_tpu.registry import MODELS
+        from lowlightenvironmentvideoobjectdetection_tpu import zoo  # noqa: F401
+
+        model = MODELS.get("DeepSORT")(num_classes=1)
+        h, w = model.detector.cfg.pad_h, model.detector.cfg.pad_w
+        rng = np.random.RandomState(3)
+        frames = [np.asarray(rng.uniform(-2, 2, (h, w, 3)), np.float32)
+                  for _ in range(4)]
+        shape = np.asarray([600.0, 1000.0])
+
+        seq = [model.track_frame(i, frames[i], shape) for i in range(4)]
+        piped = model.track_video(frames, shape)
+
+        assert len(piped) == len(seq)
+        for a, b in zip(seq, piped):
+            for k in ("det_bboxes", "track_bboxes"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -217,3 +217,59 @@ class TestTrackUtils:
         np.testing.assert_allclose(cos, np.eye(2), atol=1e-6)
         dot = embed_similarity(k, r)
         np.testing.assert_allclose(dot, [[2, 0], [0, 2]])
+
+
+class TestKalmanBatched:
+    """The batched-across-tracks Kalman variants (kalman.py predict_batch/
+    gating_distance_batch/update_batch — the tracking-loop host hotspot)
+    must match the single-track methods they replace."""
+
+    def _random_tracks(self, rng, t):
+        means, covs = [], []
+        kf = KalmanFilter()
+        for _ in range(t):
+            m, c = kf.initiate(rng.uniform(1, 200, 4))
+            for _ in range(rng.randint(0, 4)):  # de-correlate covariances
+                m, c = kf.predict(m, c)
+                m, c = kf.update(m, c, rng.uniform(1, 200, 4))
+            means.append(m)
+            covs.append(c)
+        return np.stack(means), np.stack(covs)
+
+    def test_predict_and_gating_match_sequential(self):
+        rng = np.random.RandomState(0)
+        kf = KalmanFilter()
+        means, covs = self._random_tracks(rng, 7)
+        meas = rng.uniform(1, 200, (5, 4))
+        bm, bc = kf.predict_batch(means, covs)
+        bg = kf.gating_distance_batch(bm, bc, meas)
+        for k in range(len(means)):
+            sm, sc = kf.predict(means[k], covs[k])
+            np.testing.assert_allclose(bm[k], sm, rtol=1e-12)
+            np.testing.assert_allclose(bc[k], sc, rtol=1e-12)
+            np.testing.assert_allclose(
+                bg[k], kf.gating_distance(sm, sc, meas), rtol=1e-9)
+
+    def test_update_matches_sequential(self):
+        rng = np.random.RandomState(1)
+        kf = KalmanFilter()
+        means, covs = self._random_tracks(rng, 6)
+        meas = rng.uniform(1, 200, (6, 4))
+        bm, bc = kf.update_batch(means, covs, meas)
+        for k in range(len(means)):
+            sm, sc = kf.update(means[k], covs[k], meas[k])
+            np.testing.assert_allclose(bm[k], sm, rtol=1e-8, atol=1e-8)
+            np.testing.assert_allclose(bc[k], sc, rtol=1e-8, atol=1e-8)
+
+    def test_center_only_gating(self):
+        rng = np.random.RandomState(2)
+        kf = KalmanFilter(center_only=True)
+        means, covs = self._random_tracks(rng, 4)
+        meas = rng.uniform(1, 200, (3, 4))
+        bg = kf.gating_distance_batch(means, covs, meas, only_position=True)
+        for k in range(len(means)):
+            np.testing.assert_allclose(
+                bg[k],
+                kf.gating_distance(means[k], covs[k], meas,
+                                   only_position=True),
+                rtol=1e-9)
