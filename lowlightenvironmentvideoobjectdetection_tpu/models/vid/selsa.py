@@ -116,6 +116,10 @@ class SelsaConfig:
     # A/B): the 9x9/stride-4 formulation does 1.65x the MACs of the 7x7/2
     # conv and the saved layout copies don't pay for them — kept opt-in.
     stem_fused: bool = False
+    # rematerialize the backbone in the training backward pass (HBM saver at
+    # full resolution). False skips jax.checkpoint — used by the multi-chip
+    # CPU dryrun where the doubled backward HLO only slows XLA-CPU compile.
+    remat: bool = True
     # packed-input streaming contract: the model consumes frames already
     # space-to-depth packed by the host pipeline alongside normalize/pad
     # (like the MLPerf ResNet TPU submissions' conv0 transform). Level 1 =
@@ -317,7 +321,8 @@ def selsa_loss(
     cfg = model.cfg
     rng_rpn, rng_roi = jax.random.split(rng)
 
-    extract = jax.checkpoint(
+    _remat = jax.checkpoint if cfg.remat else (lambda f: f)
+    extract = _remat(
         lambda p, imgs: model.apply(p, imgs, method=SelsaDetector.extract_feat)
     )
     _, neck_feat = extract(params, batch.imgs)

@@ -66,7 +66,10 @@ class DarkfarmConfig:
 
     @property
     def stage_channels(self) -> Tuple[int, ...]:
-        return tuple(256 * (2 ** i) for i in self.loss_stages)
+        # bottleneck archs (R50+) expand 4x; basic-block (R18/34) do not —
+        # matters for dryrun-width configs that thin the backbone to R18
+        expansion = 4 if self.selsa.depth >= 50 else 1
+        return tuple(64 * expansion * (2 ** i) for i in self.loss_stages)
 
 
 class SelsaDarkfarmDetector(nn.Module):
@@ -183,7 +186,8 @@ def darkfarm_loss(
     det_in = batch.pair_imgs[..., :c] if branch == "noise" else batch.pair_imgs[..., c:]
     # rematerialize the backbone in the backward pass: at full resolution the
     # stored stage activations of 3 frames otherwise exhaust HBM
-    extract = jax.checkpoint(
+    _remat = jax.checkpoint if scfg.remat else (lambda f: f)
+    extract = _remat(
         lambda p, imgs: model.apply(
             p, imgs, method=SelsaDarkfarmDetector.extract_noise_feat)
     )
@@ -193,14 +197,14 @@ def darkfarm_loss(
     total = 0.0
     denoised_stages = None
     if cfg.with_aggregator:
-        denoise = jax.checkpoint(
+        denoise = _remat(
             lambda p, sf, nf: model.apply(
                 p, sf, nf, method=SelsaDarkfarmDetector.denoise_feats)
         )
         denoised_stages, neck_feat = denoise(params, stage_feats, neck_feat)
     if cfg.with_cleaner and branch == "noise":
         clean_imgs = batch.pair_imgs[..., c:]
-        clean_extract = jax.checkpoint(
+        clean_extract = _remat(
             lambda p, imgs: model.apply(
                 p, imgs, method=SelsaDarkfarmDetector.extract_clean_feat)
         )
