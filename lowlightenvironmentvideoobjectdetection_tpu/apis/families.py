@@ -144,6 +144,7 @@ def _faster_rcnn_fns():
 
 def _register_two_stage():
     from ..models.detectors import cascade_rcnn as cr
+    from ..models.detectors import faster_rcnn as fr
     from ..models.detectors import htc as H
     from ..models.detectors import mask_rcnn as mr
     from ..models.detectors import more_rcnn as mrc
@@ -232,6 +233,49 @@ def _register_two_stage():
         build=_zoo_build("CascadeRPN"),
         loss=lambda m, a, v, b, r: CR.cascade_rpn_model_loss(m, v, b, r, a),
         detect=crpn_detect)
+
+    # --- round-5 roi-head families (VERDICT r4 #6) ---
+    from ..models.detectors import roi_head_families as RH
+
+    FAMILIES["DoubleHeadRCNN"] = FAMILIES["DoubleHeadRoIHead"] = Family(
+        build=_zoo_build("DoubleHeadRCNN"),
+        loss=lambda m, a, v, b, r: RH.double_head_loss(m, v, b, r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: RH.double_head_detect(
+            m, v, img, ishape, a, scale_factor=sf))
+    FAMILIES["DynamicRCNN"] = Family(
+        build=_zoo_build("DynamicRCNN"),
+        loss=lambda m, a, v, b, r: RH.dynamic_rcnn_loss(m, v, b, r, a),
+        detect=lambda m, a, v, img, ishape, sf=None: RH.dynamic_rcnn_detect(
+            m, v, img, ishape, a, scale_factor=sf))
+    FAMILIES["PISARoIHead"] = FAMILIES["PISAFasterRCNN"] = Family(
+        build=_zoo_build("PISAFasterRCNN"),
+        loss=lambda m, a, v, b, r: RH.pisa_roi_loss(m, v, b, r, a),
+        # PISA changes training only; the test path is plain Faster R-CNN
+        detect=lambda m, a, v, img, ishape, sf=None: fr.faster_rcnn_detect(
+            m, v, img, ishape, a, scale_factor=sf))
+
+    from ..models.detectors import fpn_faster_rcnn as FF
+
+    _fpn_tiny = dict(pad_h=128, pad_w=128, train_nms_post=32,
+                     test_nms_post=16, num_roi_samples=16)
+
+    def _fpn_family(zoo_name, sampler="random", reg_loss="smooth_l1"):
+        return Family(
+            build=_dense_build(zoo_name, tiny_kw=_fpn_tiny),
+            loss=lambda m, a, v, b, r: FF.fpn_faster_rcnn_loss(
+                m, v, b, r, a, sampler=sampler, reg_loss=reg_loss),
+            detect=lambda m, a, v, img, ishape, sf=None:
+                FF.fpn_faster_rcnn_detect(m, v, img, ishape, a,
+                                          scale_factor=sf),
+            input_hw=(128, 128))
+
+    FAMILIES["FasterRCNNFPN"] = _fpn_family("FasterRCNNFPN")
+    FAMILIES["GAFasterRCNN"] = FAMILIES["GARPNHead"] = _fpn_family(
+        "GAFasterRCNN")
+    FAMILIES["GRoIEFasterRCNN"] = FAMILIES["GenericRoIExtractor"] = \
+        _fpn_family("GRoIEFasterRCNN")
+    FAMILIES["LibraFasterRCNN"] = FAMILIES["LibraRCNN"] = _fpn_family(
+        "LibraFasterRCNN", sampler="iou_balanced", reg_loss="balanced_l1")
 
 
 # ---------------------------------------------------------------------------

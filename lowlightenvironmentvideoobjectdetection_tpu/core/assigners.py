@@ -441,3 +441,187 @@ def ohem_sample_gather(
     priority = jnp.where(sel, -per_candidate_loss, jnp.inf)
     inds = jnp.argsort(priority)[:num].astype(jnp.int32)
     return SampleResult(inds, pos_mask[inds], sel[inds])
+
+
+def iou_balanced_sample_gather(
+    assign: AssignResult,
+    rng: jax.Array,
+    num: int,
+    pos_fraction: float,
+    floor_thr: float = -1.0,
+    floor_fraction: float = 0.0,
+    num_bins: int = 3,
+    instance_balanced_pos: bool = True,
+) -> SampleResult:
+    """Libra R-CNN combined sampling (reference:
+    mmdet/core/bbox/samplers/iou_balanced_neg_sampler.py:1 +
+    instance_balanced_pos_sampler.py:1, wired by the CombinedSampler in
+    configs/libra_rcnn/).
+
+    Positives: with ``instance_balanced_pos``, drawn round-robin across gt
+    instances (per-gt quota num_expected/num_gts, extras refilled) —
+    statically expressed as a lexicographic (within-gt random rank, random)
+    ordering. Negatives are drawn
+    evenly from ``num_bins`` IoU intervals spanning
+    ``[max(floor_thr, 0), max_iou]`` (``sample_via_interval``): each bin
+    contributes up to ``num_expected / num_bins`` random candidates, and
+    any shortfall is refilled uniformly from the remaining negatives — so
+    hard (higher-IoU) negatives are over-represented vs. uniform sampling.
+    With ``floor_thr >= 0``, ``floor_fraction`` of the quota comes uniformly
+    from the below-floor negatives instead.
+
+    Static-shape formulation: per-bin random ranking via one composite sort
+    key (bin index major, random tiebreak minor, capped per-bin rank), then
+    a second pass fills the shortfall.
+    """
+    rng_p, rng_n, rng_f = jax.random.split(rng, 3)
+    is_pos = assign.assigned_gt_inds > 0
+    is_neg = assign.assigned_gt_inds == 0
+    n = is_pos.shape[0]
+
+    num_exp_pos = int(num * pos_fraction)
+    if instance_balanced_pos:
+        # within-gt random rank, then round-robin across gts
+        gts = jnp.where(is_pos, assign.assigned_gt_inds, 0)
+        u = jax.random.uniform(rng_p, is_pos.shape)
+        key = jnp.where(is_pos, gts.astype(jnp.float32) * 2.0 + u, jnp.inf)
+        grank = jnp.argsort(jnp.argsort(key)).astype(jnp.int32)
+        start = jax.ops.segment_min(
+            jnp.where(is_pos, grank, jnp.iinfo(jnp.int32).max), gts,
+            num_segments=n + 1)
+        within = (grank - start[gts]).astype(jnp.float32)
+        rr_key = jnp.where(is_pos, within + u * 0.5, jnp.inf)
+        pos_rank = jnp.argsort(jnp.argsort(rr_key))
+    else:
+        pos_rank = _rank_by_random(is_pos, rng_p)
+    pos_mask = is_pos & (pos_rank < num_exp_pos)
+    num_sampled_pos = jnp.sum(pos_mask)
+    num_exp_neg = num - num_sampled_pos
+
+    iou = jnp.clip(assign.max_overlaps, 0.0, 1.0)
+    floor0 = max(floor_thr, 0.0)
+    if floor_thr >= 0:
+        in_floor = is_neg & (iou < floor_thr) if floor_thr > 0 else (
+            is_neg & (iou == 0))
+        in_iou = is_neg & ~in_floor
+        num_exp_iou = (num_exp_neg.astype(jnp.float32)
+                       * (1.0 - floor_fraction)).astype(jnp.int32)
+    else:
+        in_floor = jnp.zeros_like(is_neg)
+        in_iou = is_neg
+        num_exp_iou = num_exp_neg
+
+    # per-bin even sampling over [floor0, max_iou]
+    max_iou = jnp.maximum(jnp.max(jnp.where(in_iou, iou, 0.0)), floor0 + 1e-6)
+    width = (max_iou - floor0) / num_bins
+    bin_idx = jnp.clip(((iou - floor0) / width).astype(jnp.int32),
+                       0, num_bins - 1)
+    per_bin = num_exp_iou // num_bins
+    # rank within bin: composite key = bin * 2 + U(0,1); subtract bin start
+    randk = jax.random.uniform(rng_n, iou.shape)
+    key = jnp.where(in_iou, bin_idx.astype(jnp.float32) * 2.0 + randk, 1e9)
+    grank = jnp.argsort(jnp.argsort(key)).astype(jnp.int32)
+    seg_start = jax.ops.segment_min(
+        jnp.where(in_iou, grank, jnp.iinfo(jnp.int32).max),
+        jnp.where(in_iou, bin_idx, num_bins), num_segments=num_bins + 1)
+    within = grank - seg_start[jnp.where(in_iou, bin_idx, num_bins)]
+    bin_sel = in_iou & (within < per_bin)
+
+    # floor-region uniform quota
+    floor_rank = _rank_by_random(in_floor, rng_f)
+    floor_sel = in_floor & (floor_rank < (num_exp_neg - num_exp_iou))
+
+    # refill shortfall uniformly from unselected negatives
+    short = num_exp_neg - jnp.sum(bin_sel) - jnp.sum(floor_sel)
+    rest = is_neg & ~bin_sel & ~floor_sel
+    rest_rank = _rank_by_random(rest, jax.random.fold_in(rng_n, 1))
+    rest_sel = rest & (rest_rank < short)
+
+    neg_mask = bin_sel | floor_sel | rest_sel
+    sel = pos_mask | neg_mask
+    tiebreak = jax.random.uniform(jax.random.fold_in(rng, 17), sel.shape)
+    priority = jnp.where(sel, tiebreak, 1e9)
+    inds = jnp.argsort(priority)[:num].astype(jnp.int32)
+    return SampleResult(inds, pos_mask[inds], sel[inds])
+
+
+def score_hlr_sample_gather(
+    assign: AssignResult,
+    rng: jax.Array,
+    num: int,
+    pos_fraction: float,
+    neg_max_score: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    neg_ce_loss: jnp.ndarray,
+    score_thr: float = 0.05,
+    iou_thr: float = 0.5,
+    k: float = 0.5,
+    bias: float = 0.0,
+):
+    """ScoreHLRSampler (reference: mmdet/core/bbox/samplers/
+    score_hlr_sampler.py:1, the PISA two-stage ISR-N sampler).
+
+    Positives: random, as RandomSampler. Negatives: candidates whose max
+    foreground score exceeds ``score_thr`` are grouped by NMS-match over
+    their argmax-class DECODED boxes; Score-HLR = rank of
+    ``num_valid - within_group_score_rank + score`` (descending); the
+    ``num_expected`` most important are kept (shortfall refilled randomly
+    from below-threshold negatives, which get the minimum HLR weight).
+    Weights: ``(bias + (1-bias) * (up_bound - imp_rank)/up_bound)^k``,
+    normalized so the weighted background CE sum equals the unweighted one.
+
+    ``neg_max_score``: [N] detached max foreground softmax prob;
+    ``pred_boxes``: [N, 4] argmax-class decoded boxes;
+    ``neg_ce_loss``: [N] detached CE of each candidate vs background.
+    Returns (SampleResult, neg_label_weights [num], 1 for positives).
+    """
+    from . import nms as nms_ops
+
+    rng_p, rng_r = jax.random.split(rng)
+    is_pos = assign.assigned_gt_inds > 0
+    is_neg = assign.assigned_gt_inds == 0
+    n = is_pos.shape[0]
+
+    num_exp_pos = int(num * pos_fraction)
+    pos_rank = _rank_by_random(is_pos, rng_p)
+    pos_mask = is_pos & (pos_rank < num_exp_pos)
+    num_expected = num - jnp.sum(pos_mask)  # negative quota
+
+    valid = is_neg & (neg_max_score > score_thr)
+    invalid = is_neg & ~valid
+    num_valid = jnp.sum(valid)
+
+    root = nms_ops.nms_match(pred_boxes, neg_max_score, iou_thr, valid=valid)
+    seg = jnp.where(valid, root, n)
+    key = seg.astype(jnp.float32) * 2.0 - jnp.where(valid, neg_max_score, 0.0)
+    grank = jnp.argsort(jnp.argsort(key)).astype(jnp.int32)
+    seg_start = jax.ops.segment_min(
+        jnp.where(valid, grank, jnp.iinfo(jnp.int32).max), seg,
+        num_segments=n + 1)
+    within = (grank - seg_start[seg]).astype(jnp.float32)
+    imp = jnp.where(valid, num_valid.astype(jnp.float32) - within
+                    + neg_max_score, -jnp.inf)
+    imp_rank = jnp.argsort(jnp.argsort(-imp)).astype(jnp.float32)
+    hlr_sel = valid & (imp_rank < num_expected)
+
+    num_hlr = jnp.minimum(num_valid, num_expected)
+    rand_rank = _rank_by_random(invalid, rng_r)
+    rand_sel = invalid & (rand_rank < (num_expected - num_hlr))
+    neg_mask = hlr_sel | rand_sel
+
+    up_bound = jnp.maximum(num_expected, num_valid).astype(jnp.float32)
+    imp_w = (up_bound - imp_rank) / jnp.maximum(up_bound, 1.0)
+    min_w = jnp.min(jnp.where(hlr_sel, imp_w, jnp.inf))
+    min_w = jnp.where(jnp.isfinite(min_w), min_w, 1.0)
+    w = jnp.where(hlr_sel, imp_w, jnp.where(rand_sel, min_w, 1.0))
+    w = (bias + (1.0 - bias) * w) ** k
+    sel_ce = jnp.where(neg_mask, neg_ce_loss, 0.0)
+    ratio = jnp.sum(sel_ce) / jnp.maximum(jnp.sum(sel_ce * w), 1e-6)
+    w = jnp.where(neg_mask, w * ratio, 1.0)
+
+    sel = pos_mask | neg_mask
+    tiebreak = jax.random.uniform(jax.random.fold_in(rng, 17), sel.shape)
+    priority = jnp.where(sel, tiebreak, 1e9)
+    inds = jnp.argsort(priority)[:num].astype(jnp.int32)
+    sample = SampleResult(inds, pos_mask[inds], sel[inds])
+    return sample, jnp.where(sample.is_pos, 1.0, w[inds])

@@ -13,7 +13,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 from ...ops.lap import linear_sum_assignment  # native C++ JV solver (ops/lap.py)
 
-from .mean_ap import _iou_matrix
+from .mean_ap import bbox_overlaps
 
 
 def _frame_match(gt_boxes, gt_ids, pred_boxes, pred_ids, prev_map, iou_thr=0.5):
@@ -25,7 +25,7 @@ def _frame_match(gt_boxes, gt_ids, pred_boxes, pred_ids, prev_map, iou_thr=0.5):
     used_pred = set()
 
     # 1) keep persistent matches when still overlapping
-    ious = _iou_matrix(gt_boxes, pred_boxes)
+    ious = bbox_overlaps(gt_boxes, pred_boxes)
     pid_to_col = {p: i for i, p in enumerate(pred_ids)}
     for gi, g in enumerate(gt_ids):
         p = prev_map.get(g)

@@ -11,7 +11,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .mean_ap import _iou_matrix
+from .mean_ap import bbox_overlaps
 
 
 def eval_sot_ope(
@@ -25,7 +25,7 @@ def eval_sot_ope(
     for res, ann in zip(results, annotations):
         res = np.asarray(res, np.float64).reshape(-1, 4)
         ann = np.asarray(ann, np.float64).reshape(-1, 4)
-        ious = np.diag(_iou_matrix(res, ann))
+        ious = np.diag(bbox_overlaps(res, ann))
         all_ious.append(ious)
         rc = np.stack([(res[:, 0] + res[:, 2]) / 2, (res[:, 1] + res[:, 3]) / 2], -1)
         ac = np.stack([(ann[:, 0] + ann[:, 2]) / 2, (ann[:, 1] + ann[:, 3]) / 2], -1)

@@ -748,4 +748,85 @@ def _register_losses():
     LOSSES.register("AssociativeEmbeddingLoss")(L.ae_loss)
 
 
+@MODELS.register("DoubleHeadRoIHead")
+@MODELS.register("DoubleHeadRCNN")
+def build_double_head_rcnn(num_classes: int = 80, **kw):
+    """Double-Head R-CNN (reference: double_roi_head.py +
+    double_bbox_head.py; configs/double_heads/)."""
+    from .models.detectors.roi_head_families import DoubleHeadRCNN
+    from .models.vid.selsa import make_anchors
+
+    cfg = _selsa_cfg(num_classes=num_classes, **kw)
+    return DoubleHeadRCNN(cfg=cfg), make_anchors(cfg)
+
+
+@MODELS.register("DynamicRCNN")
+def build_dynamic_rcnn(num_classes: int = 80, **kw):
+    """Dynamic R-CNN (reference: dynamic_roi_head.py; configs/dynamic_rcnn/)
+    — the trunk is a plain Faster R-CNN; the dynamic IoU/beta schedule lives
+    in the training loop (roi_head_families.DynamicSchedule)."""
+    from .models.detectors.faster_rcnn import make_faster_rcnn
+
+    return make_faster_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+@MODELS.register("PISARoIHead")
+@MODELS.register("PISAFasterRCNN")
+def build_pisa_faster_rcnn(num_classes: int = 80, **kw):
+    """PISA two-stage (reference: pisa_roi_head.py + score_hlr_sampler.py;
+    configs/pisa/pisa_faster_rcnn_r50_fpn_1x_coco.py). Same trunk as Faster
+    R-CNN; the PISA machinery is the training loss."""
+    from .models.detectors.faster_rcnn import make_faster_rcnn
+
+    return make_faster_rcnn(_selsa_cfg(num_classes=num_classes, **kw))
+
+
+def _build_fpn_frcnn(num_classes, kw, **variant):
+    from .models.detectors.fpn_faster_rcnn import (
+        FPNFasterRCNN, make_fpn_anchors)
+
+    kw = dict(kw)
+    if "compute_dtype" in kw:  # SelsaConfig-style knob -> dtype
+        kw.setdefault("dtype", kw.pop("compute_dtype"))
+    if isinstance(kw.get("dtype"), str):
+        kw["dtype"] = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[
+            kw["dtype"]]
+    for k in ("train_nms_pre", "test_nms_pre"):
+        kw.pop(k, None)
+    model = FPNFasterRCNN(num_classes=num_classes, **variant, **kw)
+    return model, make_fpn_anchors(model.pad_h, model.pad_w)
+
+
+@MODELS.register("FasterRCNNFPN")
+def build_faster_rcnn_fpn(num_classes: int = 80, **kw):
+    """Multi-level FPN Faster R-CNN (reference:
+    configs/_base_/models/faster_rcnn_r50_fpn.py — per-level RPN anchors +
+    scale-dispatched RoIAlign)."""
+    return _build_fpn_frcnn(num_classes, kw)
+
+
+@MODELS.register("GARPNHead")
+@MODELS.register("GAFasterRCNN")
+def build_ga_faster_rcnn(num_classes: int = 80, **kw):
+    """Guided-anchoring Faster R-CNN (reference: ga_rpn_head.py;
+    configs/guided_anchoring/ga_faster_r50_fpn_1x_coco.py)."""
+    return _build_fpn_frcnn(num_classes, kw, rpn_type="ga")
+
+
+@MODELS.register("GenericRoIExtractor")
+@MODELS.register("GRoIEFasterRCNN")
+def build_groie_faster_rcnn(num_classes: int = 80, **kw):
+    """GRoIE Faster R-CNN (reference: generic_roi_extractor.py;
+    configs/groie/faster_rcnn_r50_fpn_groie_1x_coco.py)."""
+    return _build_fpn_frcnn(num_classes, kw, roi_extract="groie")
+
+
+@MODELS.register("LibraRCNN")
+@MODELS.register("LibraFasterRCNN")
+def build_libra_faster_rcnn(num_classes: int = 80, **kw):
+    """Libra R-CNN (reference: configs/libra_rcnn/ — BFP non-local neck,
+    IoU-balanced/instance-balanced sampling, BalancedL1 regression)."""
+    return _build_fpn_frcnn(num_classes, kw, with_bfp=True)
+
+
 _register_losses()

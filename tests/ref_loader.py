@@ -240,11 +240,20 @@ def load():
     # no fork of a jax-initialized process.
     mean_ap.Pool = SerialPool
 
+    # PISA losses (models/losses/pisa_loss.py) import
+    # `from mmdet.core import bbox_overlaps` (the aligned-iou variant)
+    core.bbox_overlaps = iou2d.bbox_overlaps
+    _fake_pkg("mmdet.models")
+    _fake_pkg("mmdet.models.losses")
+    pisa_loss = _load_file("mmdet.models.losses.pisa_loss",
+                           "models/losses/pisa_loss.py")
+
     # convenience handles
     mmdet.assigners = sys.modules[a]
     mmdet.coders = sys.modules[c]
     mmdet.samplers = sys.modules[s]
     mmdet.mean_ap = mean_ap
     mmdet.transforms = transforms
+    mmdet.pisa_loss = pisa_loss
     _loaded = True
     return mmdet
