@@ -173,10 +173,10 @@ class DeepSORT:
     def track_video(self, imgs, img_shape):
         """Pipelined streaming over a frame sequence (private-det path).
 
-        Double-buffered: frame t+1's detect+ReID is dispatched BEFORE
-        blocking on frame t's readback, so the device computes (and the
-        tunnel round-trips fly) while the host runs Kalman/LAP association
-        on frame t. Identical results to calling ``track_frame`` per frame
+        Pipelined with DEPTH frames in flight: frame t+1's detect+ReID is
+        dispatched BEFORE blocking on frame t's readback, so the device
+        computes (and the tunnel round-trips fly) while the host runs
+        Kalman/LAP association on frame t. Identical results to calling ``track_frame`` per frame
         — the tracker state only ever consumes fetched detections in frame
         order. ``imgs`` may be a list/array of frames or any iterable."""
         from collections import deque

@@ -6,9 +6,10 @@
 // The tracking loop is host-side and sequential; this solver runs per frame
 // on the CPU while the conv nets run on the TPU.
 //
-// Algorithm: shortest augmenting path (JV), O(n^3), operating on a row-major
-// cost matrix padded to square with a large finite cost. Exposed with C
-// linkage for ctypes.
+// Algorithm: shortest augmenting path (JV) on the RECTANGULAR problem
+// directly — augmenting only the smaller side, O(min^2 * max) on the
+// row-major cost matrix (no square padding). Exposed with C linkage for
+// ctypes.
 
 #include <cstdint>
 #include <cstring>

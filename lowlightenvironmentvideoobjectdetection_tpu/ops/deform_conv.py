@@ -151,3 +151,79 @@ def deform_conv(
         x, offset, ones, weight, bias,
         kernel_size=kernel_size, deform_groups=deform_groups,
     )
+
+
+def modulated_deform_conv_fused(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    kernel_size: int = 3,
+    deform_groups: int = 1,
+) -> jnp.ndarray:
+    """Same math as :func:`modulated_deform_conv`, reorganized for TPU:
+
+    - ONE batched gather per bilinear corner (vmapped over the deform
+      groups, taps folded into the gather index) instead of the scan's
+      4 x K x G small sequential gathers;
+    - the K tap matmuls fused into a single [HW, K*Cin] x [K*Cin, Cout]
+      MXU contraction (K*Cin is MXU-shaped; the scan's per-tap [Cin, Cout]
+      matmuls each re-read the accumulator from HBM).
+
+    Materializes the [HW, K, Cin] column tensor (im2col) — fine at the
+    aggregator's stage shapes; the scan form remains for memory-tight
+    full-resolution use.
+    """
+    h, w, cin = x.shape
+    k = kernel_size
+    kk = k * k
+    g = deform_groups
+    cpg = cin // g
+
+    ky, kx = jnp.meshgrid(
+        jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2,
+        jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2,
+        indexing="ij",
+    )
+    off = offset.reshape(h, w, g, 2, kk)
+    m = mask.reshape(h * w, g, kk)
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None, None, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :, None, None]
+    sy = (gy + ky.reshape(-1)[None, None, None, :] + off[:, :, :, 0, :]
+          ).reshape(h * w, g, kk)
+    sx = (gx + kx.reshape(-1)[None, None, None, :] + off[:, :, :, 1, :]
+          ).reshape(h * w, g, kk)
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    ly = sy - y0
+    lx = sx - x0
+
+    xg = jnp.transpose(x.reshape(h * w, g, cpg), (1, 0, 2))  # [G, HW, Cpg]
+
+    def corner(yi, xi, wgt):
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = (jnp.clip(yi, 0.0, h - 1.0) * w
+               + jnp.clip(xi, 0.0, w - 1.0)).astype(jnp.int32)
+        # [HW, G, K] indices -> [G, HW*K] batched gather over groups
+        ixg = jnp.transpose(idx, (1, 0, 2)).reshape(g, -1)
+        vals = jax.vmap(lambda op, ix: op[ix])(xg, ixg)  # [G, HW*K, Cpg]
+        vals = vals.reshape(g, h * w, kk, cpg)
+        wm = jnp.transpose((wgt * ok), (1, 0, 2))[..., None]  # [G, HW, K, 1]
+        return vals * wm
+
+    col = (corner(y0, x0, (1 - ly) * (1 - lx))
+           + corner(y0, x0 + 1, (1 - ly) * lx)
+           + corner(y0 + 1, x0, ly * (1 - lx))
+           + corner(y0 + 1, x0 + 1, ly * lx))  # [G, HW, K, Cpg]
+    col = col * jnp.transpose(m, (1, 0, 2))[..., None]
+    # -> [HW, K, G, Cpg] == [HW, K, Cin] in the weight's channel order
+    col = jnp.transpose(col, (1, 2, 0, 3)).reshape(h * w, kk * cin)
+    w_mat = weight.reshape(kk * cin, -1)
+    out = jax.lax.dot_general(
+        col, w_mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(h, w, -1)
+    if bias is not None:
+        out = out + bias
+    return out

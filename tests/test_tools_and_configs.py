@@ -49,32 +49,41 @@ class TestConfigs:
 
 class TestConverters:
     def test_darkfarm_converter(self, tmp_path):
-        import numpy as np
-        import cv2
-
-        root = tmp_path / "frames"
-        (root / "vidA").mkdir(parents=True)
+        """Reference-semantics converter (list-driven, xml under GT/) feeds
+        DarkFarmVIDDataset round-trip. Byte-fidelity vs the reference's own
+        converter code is covered by tests/test_converter_fidelity.py."""
+        root = tmp_path / "dfroot"
+        lists = root / "Lists"
+        lists.mkdir(parents=True)
+        vid = "day1/camA/sceneA/noisy"
+        (lists / "darkfarm_vid_x_val.txt").write_text(f"{vid} 0 3\n")
+        gt = root / "day1/camA/sceneA/GT"
+        gt.mkdir(parents=True)
         for i in range(3):
-            cv2.imwrite(str(root / "vidA" / f"{i:06d}.jpg"),
-                        np.zeros((10, 10, 3), np.uint8))
-        # one annotation file
-        with open(root / "vidA" / "000001.jpg.txt", "w") as f:
-            f.write("2 1.0 2.0 5.0 6.0 11\n")
-        lst = tmp_path / "train.txt"
-        lst.write_text("vidA\n")
-        out = tmp_path / "ann.json"
+            (gt / f"{i}.xml").write_text(
+                "<annotation><size><width>640</width>"
+                "<height>480</height></size>"
+                "<object><name>sheep</name><trackid>0</trackid>"
+                "<occluded>0</occluded><generated>0</generated>"
+                "<bndbox><xmin>10</xmin><ymin>20</ymin>"
+                "<xmax>50</xmax><ymax>60</ymax></bndbox></object>"
+                "</annotation>")
         sys.path.insert(0, os.path.join(REPO, "tools", "convert_datasets"))
         try:
             import darkfarm2coco_vid as D
         finally:
             sys.path.pop(0)
-        D.convert(str(root), str(lst), str(out))
+        D.convert_darkfarm(D.base_json(), str(root), str(tmp_path), "val",
+                           "darkfarm_vid_x_val")
+        out = tmp_path / "darkfarm_vid_x_val.json"
         data = json.load(open(out))
         assert len(data["videos"]) == 1
         assert len(data["images"]) == 3
-        assert len(data["annotations"]) == 1
+        assert len(data["annotations"]) == 3
         ann = data["annotations"][0]
-        assert ann["category_id"] == 3 and ann["instance_id"] == 11
+        assert ann["category_id"] == 3  # sheep
+        assert data["images"][0]["file_name"] == f"{vid}/0.JPG"
+        assert not data["images"][0]["is_vid_train_frame"]
 
         # round-trip through the dataset class
         from lowlightenvironmentvideoobjectdetection_tpu.data.datasets import (
