@@ -45,6 +45,7 @@ from ..dense_heads.guided_anchor_head import (
     AdaptiveDCN, _calc_region, ga_loc_targets, guided_anchors,
     shape_to_offsets,
 )
+from ..necks.extra_necks import BFP, NonLocal2d  # noqa: F401 — Libra refine
 from ..necks.fpn import FPN
 from ..roi_heads import bbox_head as bh
 
@@ -229,96 +230,6 @@ class GenericRoIExtractor(nn.Module):
             acc = rf if acc is None else acc + rf
         return GeneralizedAttention(dtype=self.dtype, name="post_module")(
             acc.astype(jnp.float32))
-
-
-# ---------------------------------------------------------------------------
-# BFP with real non-local refine (Libra)
-# ---------------------------------------------------------------------------
-
-
-class NonLocal2d(nn.Module):
-    """mmcv NonLocal2d, embedded-gaussian mode (reduction=1,
-    use_scale=False — the BFP config): theta/phi/g 1x1 convs, softmax
-    affinity, conv_out 1x1 back to C, residual."""
-
-    reduction: int = 1
-    use_scale: bool = False
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n, h, w, c = x.shape
-        ci = max(c // self.reduction, 1)
-        theta = nn.Conv(ci, (1, 1), dtype=self.dtype, name="theta")(x)
-        phi = nn.Conv(ci, (1, 1), dtype=self.dtype, name="phi")(x)
-        g = nn.Conv(ci, (1, 1), dtype=self.dtype, name="g")(x)
-        theta = theta.reshape(n, h * w, ci).astype(jnp.float32)
-        phi = phi.reshape(n, h * w, ci).astype(jnp.float32)
-        g = g.reshape(n, h * w, ci).astype(jnp.float32)
-        logits = jnp.einsum("nqc,nkc->nqk", theta, phi)
-        if self.use_scale:
-            logits = logits / jnp.sqrt(float(ci))
-        attn = jax.nn.softmax(logits, axis=-1)
-        y = jnp.einsum("nqk,nkc->nqc", attn, g).reshape(n, h, w, ci)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros, name="conv_out")(
-            y.astype(self.dtype))
-        return x + y.astype(x.dtype)
-
-
-class BFP(nn.Module):
-    """Balanced Feature Pyramid (bfp.py:10, Libra R-CNN): gather all levels
-    to the refine level (max-pool down / nearest up), average, refine
-    (non-local or 3x3 conv), scatter back residually."""
-
-    num_levels: int = 5
-    refine_level: int = 2
-    refine_type: Optional[str] = "non_local"
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
-        assert len(inputs) == self.num_levels
-        ref_hw = inputs[self.refine_level].shape[-3:-1]
-        feats = []
-        for i, f in enumerate(inputs):
-            if i < self.refine_level:
-                # adaptive max-pool == strided window max at integer ratios
-                ry = f.shape[-3] // ref_hw[0]
-                rx = f.shape[-2] // ref_hw[1]
-                g = nn.max_pool(f, (ry, rx), strides=(ry, rx))
-                g = g[..., :ref_hw[0], :ref_hw[1], :]
-            elif i > self.refine_level:
-                g = jax.image.resize(
-                    f, f.shape[:-3] + tuple(ref_hw) + (f.shape[-1],),
-                    "nearest")
-            else:
-                g = f
-            feats.append(g.astype(jnp.float32))
-        bsf = sum(feats) / self.num_levels
-
-        if self.refine_type == "non_local":
-            bsf = NonLocal2d(dtype=self.dtype, name="refine")(bsf)
-        elif self.refine_type == "conv":
-            bsf = nn.Conv(bsf.shape[-1], (3, 3), padding=[(1, 1)] * 2,
-                          dtype=self.dtype, name="refine")(bsf)
-
-        outs = []
-        for i, f in enumerate(inputs):
-            hw = f.shape[-3:-1]
-            if i < self.refine_level:
-                r = jax.image.resize(
-                    bsf, bsf.shape[:-3] + tuple(hw) + (bsf.shape[-1],),
-                    "nearest")
-            elif i > self.refine_level:
-                ry = bsf.shape[-3] // hw[0]
-                rx = bsf.shape[-2] // hw[1]
-                r = nn.max_pool(bsf, (ry, rx), strides=(ry, rx))
-                r = r[..., :hw[0], :hw[1], :]
-            else:
-                r = bsf
-            outs.append(f + r.astype(f.dtype))
-        return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -541,7 +452,7 @@ class FPNFasterRCNN(nn.Module):
                         add_extra_convs="maxpool", dtype=self.dtype,
                         name="neck")
         if self.with_bfp:
-            self.bfp = BFP(num_levels=5, refine_level=2,
+            self.bfp = BFP(out_channels=256, refine_level=2,
                            refine_type="non_local", dtype=jnp.float32,
                            name="bfp")
         if self.rpn_type == "ga":

@@ -17,7 +17,7 @@ Parity targets (mmdetection/mmdet/models/necks/):
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -97,34 +97,83 @@ class HRFPN(nn.Module):
         return tuple(outs)
 
 
+class NonLocal2d(nn.Module):
+    """mmcv NonLocal2d, embedded-gaussian mode (the BFP config:
+    reduction=1, use_scale=False): theta/phi/g 1x1 convs, softmax affinity
+    over all positions, zero-init conv_out back to C, residual."""
+
+    reduction: int = 1
+    use_scale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        n, h, w, c = x.shape
+        ci = max(c // self.reduction, 1)
+        theta = nn.Conv(ci, (1, 1), dtype=self.dtype, name="theta")(x)
+        phi = nn.Conv(ci, (1, 1), dtype=self.dtype, name="phi")(x)
+        g = nn.Conv(ci, (1, 1), dtype=self.dtype, name="g")(x)
+        theta = theta.reshape(n, h * w, ci).astype(jnp.float32)
+        phi = phi.reshape(n, h * w, ci).astype(jnp.float32)
+        g = g.reshape(n, h * w, ci).astype(jnp.float32)
+        logits = jnp.einsum("nqc,nkc->nqk", theta, phi)
+        if self.use_scale:
+            logits = logits / jnp.sqrt(float(ci))
+        attn = jax.nn.softmax(logits, axis=-1)
+        y = jnp.einsum("nqk,nkc->nqc", attn, g).reshape(n, h, w, ci)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="conv_out")(
+            y.astype(self.dtype))
+        out = x + y.astype(x.dtype)
+        return out[0] if squeeze else out
+
+
 class BFP(nn.Module):
-    """Balanced Feature Pyramid (bfp.py:12): gather -> refine -> scatter."""
+    """Balanced Feature Pyramid (bfp.py:10, Libra R-CNN): gather all levels
+    to the refine level (adaptive max-pool down / nearest up), average,
+    refine with a REAL non-local block (the libra config's
+    refine_type='non_local') or a 3x3 conv, then scatter back residually
+    (nearest up / max-pool down — bfp.py:75-103)."""
 
     out_channels: int = 256
     refine_level: int = 2
+    refine_type: Optional[str] = "non_local"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
         ref_hw = inputs[self.refine_level].shape[-3:-1]
+
+        def down(x, hw):
+            ry = max(x.shape[-3] // hw[0], 1)
+            rx = max(x.shape[-2] // hw[1], 1)
+            x = nn.max_pool(x, (ry, rx), strides=(ry, rx))
+            if x.shape[-3:-1] != tuple(hw):  # odd-size guard
+                x = _resize_to(x, hw)
+            return x
+
         gathered = []
         for i, x in enumerate(inputs):
             x = x.astype(self.dtype)
             if i < self.refine_level:
-                s = 2 ** (self.refine_level - i)
-                x = nn.max_pool(x, (s, s), strides=(s, s))
-                # guard odd sizes
-                x = _resize_to(x, ref_hw)
+                x = down(x, ref_hw)
             elif i > self.refine_level:
                 x = _resize_to(x, ref_hw)
             gathered.append(x)
         bsf = sum(gathered) / len(gathered)
-        bsf = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
-                      dtype=self.dtype, name="refine")(bsf)
+        if self.refine_type == "non_local":
+            bsf = NonLocal2d(dtype=self.dtype, name="refine")(bsf)
+        elif self.refine_type == "conv":
+            bsf = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                          dtype=self.dtype, name="refine")(bsf)
         outs = []
         for i, x in enumerate(inputs):
-            res = _resize_to(bsf, x.shape[-3:-1],
-                             "nearest" if i <= self.refine_level else "nearest")
+            hw = x.shape[-3:-1]
+            res = _resize_to(bsf, hw) if i <= self.refine_level \
+                else down(bsf, hw)
             outs.append(x.astype(self.dtype) + res)
         return tuple(outs)
 
@@ -204,42 +253,96 @@ class NASFPN(nn.Module):
 
 
 class FPG(nn.Module):
-    """Feature Pyramid Grid, regular-grid core (fpg.py): stack_times of
-    same/up/down pathway fusion across all levels."""
+    """Feature Pyramid Grid — the reference's full pathway set (fpg.py:100
+    + configs/fpg/faster_rcnn_r50_fpg_crop640_50e_coco.py):
+
+    - ``paths``: one 'bu'/'td' direction per stack (shipped config:
+      9 bottom-up stacks);
+    - per (stack, level) transitions: ``same_up`` (pre-act 3x3 stride-2
+      conv from the previous level of the SAME stack, bottom-up),
+      ``across_lateral`` (pre-act 1x1 conv of the previous stack's same
+      level), ``across_down`` (UpInterpolationConv: nearest 2x upsample
+      then pre-act 3x3 conv of the previous stack's coarser level), and
+      ``across_skip`` (pre-act 1x1 conv from the INITIAL laterals);
+      ``same_down``/``across_up`` are None in the shipped config;
+    - ``skip_inds[j]``: stacks where level j passes through unchanged
+      (the staircase ((0,1,2,3), (0,1,2), (0,1), (0,), ()));
+    - output: pre-act 3x3 ``last_conv`` on the final stack per level.
+
+    Pre-act = ConvModule order ('act', 'conv', 'norm'); norm here is the
+    frozen-affine BN used framework-wide.
+    """
 
     out_channels: int = 256
     num_outs: int = 5
-    stack_times: int = 3
+    stack_times: int = 9
+    paths: Tuple[str, ...] = ("bu",) * 9
+    skip_inds: Tuple[Tuple[int, ...], ...] = (
+        (0, 1, 2, 3), (0, 1, 2), (0, 1), (0,), ())
     dtype: Any = jnp.bfloat16
+
+    def _trans(self, x, name, kernel=1, stride=1, upsample=None):
+        """Pre-activation ConvModule: relu -> conv -> frozen BN, with the
+        UpInterpolationConv variant interpolating (nearest, to the target
+        level's size — odd pyramids make a fixed 2x over/undershoot) before
+        the module."""
+        from ..backbones.resnet import FrozenBatchNorm
+
+        if upsample is not None:
+            x = _resize_to(x, upsample)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (kernel, kernel),
+                    strides=(stride, stride),
+                    padding=[((kernel - 1) // 2, (kernel - 1) // 2)] * 2,
+                    use_bias=False, dtype=self.dtype, name=name + "_conv")(x)
+        return FrozenBatchNorm(dtype=self.dtype, name=name + "_bn")(x)
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        paths = self.paths if len(self.paths) == self.stack_times \
+            else ("bu",) * self.stack_times
         feats = [
             nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                    name=f"adapt{i}")(x.astype(self.dtype))
+                    name=f"lateral{i}")(x.astype(self.dtype))
             for i, x in enumerate(inputs)
         ]
+        # extra levels: MaxPool2d(1, stride 2) (fpg.py:231 default)
         while len(feats) < self.num_outs:
             feats.append(nn.max_pool(feats[-1], (1, 1), strides=(2, 2)))
-        n = len(feats)
-        for s in range(self.stack_times):
+        n = self.num_outs
+
+        outs = [feats]
+        for s_i, direction in enumerate(paths):
+            cur = outs[-1]
             nxt = []
-            for i in range(n):
-                acc = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
-                              dtype=self.dtype, name=f"s{s}_same{i}")(feats[i])
-                if i > 0:  # down pathway from higher resolution
-                    acc = acc + nn.Conv(
-                        self.out_channels, (3, 3), strides=(2, 2),
-                        padding=[(1, 1)] * 2, dtype=self.dtype,
-                        name=f"s{s}_down{i}")(feats[i - 1])
-                if i < n - 1:  # up pathway from lower resolution
-                    up = _resize_to(feats[i + 1], feats[i].shape[-3:-1])
-                    acc = acc + nn.Conv(
-                        self.out_channels, (1, 1), dtype=self.dtype,
-                        name=f"s{s}_up{i}")(up)
-                nxt.append(nn.relu(acc))
-            feats = nxt
-        return tuple(feats)
+            for j in range(n):
+                # skip check keyed by the LOOP index j (fpg.py:343), the
+                # computed level by the direction-dependent lvl
+                if s_i in self.skip_inds[j]:
+                    nxt.append(cur[j])
+                    continue
+                lvl = n - j - 1 if direction == "td" else j
+                acc = self._trans(cur[lvl], f"s{s_i}_l{lvl}_lateral",
+                                  kernel=1)
+                if direction == "bu" and lvl > 0:
+                    su = self._trans(nxt[-1], f"s{s_i}_l{lvl}_same_up",
+                                     kernel=3, stride=2)
+                    if su.shape[-3:-1] != acc.shape[-3:-1]:
+                        su = _resize_to(su, acc.shape[-3:-1])  # odd sizes
+                    acc = acc + su
+                if lvl < n - 1:
+                    acc = acc + self._trans(
+                        cur[lvl + 1], f"s{s_i}_l{lvl}_across_down",
+                        kernel=3, upsample=acc.shape[-3:-1])
+                acc = acc + self._trans(outs[0][lvl],
+                                        f"s{s_i}_l{lvl}_across_skip",
+                                        kernel=1)
+                nxt.append(acc)
+            outs.append(nxt[::-1] if direction == "td" else nxt)
+
+        return tuple(
+            self._trans(outs[-1][i], f"out{i}", kernel=3)
+            for i in range(n))
 
 
 class FPNCarafe(nn.Module):

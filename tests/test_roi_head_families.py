@@ -441,13 +441,13 @@ class TestFPNFamilies:
         np.testing.assert_array_equal(got, [0, 1, 2, 3, 3])
 
     def test_bfp_gather_scatter_shapes(self):
-        from lowlightenvironmentvideoobjectdetection_tpu.models.detectors.fpn_faster_rcnn import (
+        from lowlightenvironmentvideoobjectdetection_tpu.models.necks.extra_necks import (
             BFP,
         )
 
         levels = [jnp.ones((1, 32 // (2 ** i), 32 // (2 ** i), 8))
                   for i in range(5)]
-        bfp = BFP(num_levels=5, refine_level=2, refine_type="non_local",
+        bfp = BFP(out_channels=8, refine_level=2, refine_type="non_local",
                   dtype=jnp.float32)
         p = bfp.init(jax.random.PRNGKey(0), levels)
         outs = bfp.apply(p, levels)
