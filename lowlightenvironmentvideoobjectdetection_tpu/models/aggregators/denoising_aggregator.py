@@ -24,7 +24,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.deform_conv import modulated_deform_conv
+from ...ops.deform_conv import (
+    modulated_deform_conv,  # noqa: F401 — scan form kept for memory-tight use
+    modulated_deform_conv_fused,
+)
 
 
 class DenseLayer(nn.Module):
@@ -91,7 +94,13 @@ class ModulatedDCNPack(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
 
         def one(xi, oi, mi):
-            return modulated_deform_conv(
+            # fused formulation: one batched gather per bilinear corner +
+            # a single [HW, K*Cin] im2col MXU matmul — golden-equal to the
+            # scan form (tests/test_dcn_golden.py::TestFusedVariant) and
+            # the flagship TAF's hot-path fix (round-5 MFU work; the scan's
+            # 4 x K x G sequential small gathers measured as the 2.4%-MFU
+            # bottleneck in the round-4 A/B)
+            return modulated_deform_conv_fused(
                 xi,
                 oi.reshape(*oi.shape[:2], -1),
                 mi.reshape(*mi.shape[:2], -1),
