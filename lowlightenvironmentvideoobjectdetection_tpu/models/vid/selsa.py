@@ -117,9 +117,14 @@ class SelsaConfig:
     # conv and the saved layout copies don't pay for them — kept opt-in.
     stem_fused: bool = False
     # rematerialize the backbone in the training backward pass (HBM saver at
-    # full resolution). False skips jax.checkpoint — used by the multi-chip
-    # CPU dryrun where the doubled backward HLO only slows XLA-CPU compile.
-    remat: bool = True
+    # full resolution). True/"full" = jax.checkpoint (recompute everything);
+    # "dots" = checkpoint with dots_with_no_batch_dims_saveable — matmul/conv
+    # outputs are SAVED and only the cheap elementwise/norm ops recompute,
+    # trading a little HBM for most of the recompute FLOPs (the round-5
+    # training-MFU lever). False skips jax.checkpoint — used by the
+    # multi-chip CPU dryrun where the doubled backward HLO only slows
+    # XLA-CPU compile.
+    remat: Any = True
     # packed-input streaming contract: the model consumes frames already
     # space-to-depth packed by the host pipeline alongside normalize/pad
     # (like the MLPerf ResNet TPU submissions' conv0 transform). Level 1 =
@@ -321,7 +326,13 @@ def selsa_loss(
     cfg = model.cfg
     rng_rpn, rng_roi = jax.random.split(rng)
 
-    _remat = jax.checkpoint if cfg.remat else (lambda f: f)
+    if cfg.remat == "dots":
+        _remat = lambda f: jax.checkpoint(
+            f, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif cfg.remat:
+        _remat = jax.checkpoint
+    else:
+        _remat = lambda f: f
     extract = _remat(
         lambda p, imgs: model.apply(p, imgs, method=SelsaDetector.extract_feat)
     )
