@@ -46,7 +46,7 @@ def _rand_batch_common(rng, frames, h, w, chans):
     return imgs, jnp.asarray(gt), jnp.asarray(rng.randint(0, 5, 8), jnp.int32)
 
 
-def _make_selsa(tiny, packed=0):
+def _make_selsa(tiny, packed=0, remat=True):
     from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
         SelsaConfig, SelsaDetector, TrainBatch, init_params, make_anchors,
         selsa_loss,
@@ -56,6 +56,7 @@ def _make_selsa(tiny, packed=0):
               num_roi_samples=16, compute_dtype=jnp.float32) if tiny else {}
     if packed:
         kw["input_packed"] = packed
+    kw["remat"] = remat
     cfg = SelsaConfig(**kw)
     model = SelsaDetector(cfg=cfg)
     params = init_params(model, jax.random.PRNGKey(0), small=True)
@@ -81,7 +82,8 @@ def _make_selsa(tiny, packed=0):
     return params, batch, loss_fn
 
 
-def _make_flagship(tiny, agg_taf=True, agg_rdb=True, with_aggregator=True):
+def _make_flagship(tiny, agg_taf=True, agg_rdb=True, with_aggregator=True,
+                   remat=True):
     import dataclasses
 
     from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
@@ -95,7 +97,8 @@ def _make_flagship(tiny, agg_taf=True, agg_rdb=True, with_aggregator=True):
     kw = dict(pad_h=64, pad_w=64, train_nms_pre=64, train_nms_post=16,
               num_roi_samples=16, compute_dtype=jnp.float32) if tiny else {}
     scfg = dataclasses.replace(
-        SelsaConfig(**kw), num_classes=8, out_indices=(0, 1, 2, 3, 3))
+        SelsaConfig(**kw), num_classes=8, out_indices=(0, 1, 2, 3, 3),
+        remat=remat)
     cfg = DarkfarmConfig(selsa=scfg, with_aggregator=with_aggregator,
                          agg_rdb=agg_rdb, agg_taf=agg_taf,
                          with_cleaner=True, loss_type="l1")
@@ -185,13 +188,18 @@ def main():
     p.add_argument("--no-taf", action="store_true")
     p.add_argument("--no-rdb", action="store_true")
     p.add_argument("--no-aggregator", action="store_true")
+    p.add_argument("--remat", default="true", choices=["true", "dots", "false"],
+                   help="backbone remat policy for the A/B: full checkpoint, "
+                        "dots-saveable, or no remat")
     args = p.parse_args()
+    remat = {"true": True, "dots": "dots", "false": False}[args.remat]
 
     out = {"backend": jax.default_backend(),
-           "device": str(jax.devices()[0])}
+           "device": str(jax.devices()[0]), "remat": args.remat}
     if args.model in ("both", "selsa"):
         out["selsa"] = _bench("selsa_r50_dc5",
-                              *_make_selsa(args.tiny, args.packed),
+                              *_make_selsa(args.tiny, args.packed,
+                                           remat=remat),
                               args.steps, args.peak_tflops)
         if args.packed:
             out["selsa"]["input_packed"] = args.packed
@@ -200,7 +208,8 @@ def main():
             "selsa_new_darkfarm",
             *_make_flagship(args.tiny, agg_taf=not args.no_taf,
                             agg_rdb=not args.no_rdb,
-                            with_aggregator=not args.no_aggregator),
+                            with_aggregator=not args.no_aggregator,
+                            remat=remat),
             args.steps, args.peak_tflops)
     print(json.dumps(out))
 
