@@ -24,9 +24,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.deform_conv import (
-    modulated_deform_conv,  # noqa: F401 — scan form kept for memory-tight use
+from ...ops.deform_conv import (  # noqa: F401 — alt forms kept for A/B
+    modulated_deform_conv,
     modulated_deform_conv_fused,
+    modulated_deform_conv_windowed,
 )
 
 
@@ -94,17 +95,18 @@ class ModulatedDCNPack(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
 
         def one(xi, oi, mi):
-            # fused formulation: one batched gather per bilinear corner +
-            # a single [HW, K*Cin] im2col MXU matmul — golden-equal to the
-            # scan form (tests/test_dcn_golden.py::TestFusedVariant) and
-            # the flagship TAF's hot-path fix (round-5 MFU work; the scan's
-            # 4 x K x G sequential small gathers measured as the 2.4%-MFU
-            # bottleneck in the round-4 A/B)
-            return modulated_deform_conv_fused(
+            # windowed gather-FREE formulation (round-5 MFU work): TPU
+            # gathers serialize — the gather forms measured 222-741 ms
+            # fwd(+bwd) at the TAF stage-1 shape while the windowed-hat
+            # form runs on the VPU/MXU. Offsets here come from the
+            # zero-initialized conv_offset and stay well inside the
+            # radius-3 window throughout training; bilinear-exact within
+            # it (tests/test_dcn_golden.py::TestWindowedVariant).
+            return modulated_deform_conv_windowed(
                 xi,
                 oi.reshape(*oi.shape[:2], -1),
                 mi.reshape(*mi.shape[:2], -1),
-                weight, bias, kernel_size=k, deform_groups=g,
+                weight, bias, kernel_size=k, deform_groups=g, radius=3,
             )
 
         return jax.vmap(one)(x, offset, mask)

@@ -57,13 +57,22 @@ class DeepSORT:
 
     def __init__(self, detector: FasterRCNN, det_params, anchors,
                  reid: Optional[BaseReID] = None, reid_params=None,
-                 tracker: Optional[SortTracker] = None):
+                 tracker: Optional[SortTracker] = None,
+                 max_reid_dets: int = 48):
         self.detector = detector
         self.det_params = det_params
         self.anchors = anchors
         self.reid = reid
         self.reid_params = reid_params
         self.tracker = tracker or SortTracker()
+        # ReID crop budget: multiclass_nms emits detections score-DESCENDING,
+        # so the first max_reid_dets rows are the top-scored ones; the
+        # R50-ReID on 100 fixed 256x128 crops was ~2x the detector's own
+        # FLOPs while MOT frames rarely carry >40 above-threshold dets.
+        # Everything past the cap is dropped from association (it would be
+        # discarded by the tracker's obj_score_thr in all but pathological
+        # frames).
+        self.max_reid_dets = max_reid_dets
 
         # weights as jit args, not closures (remote-compile size limits)
         _det = jax.jit(
@@ -79,10 +88,14 @@ class DeepSORT:
             # frame. The private-detection path otherwise pays 1 (detect) +
             # ceil(N/32) (reid) host syncs per frame — on a remote-TPU
             # tunnel each sync is ~30 ms of RTT, 5x the compute itself.
+            kcap = max_reid_dets
+
             def _fused(det_p, reid_p, a, img, shape):
                 dets = faster_rcnn_detect(detector, det_p, img, shape, a)
-                embeds = reid.apply(reid_p, crop_and_resize(img, dets.boxes))
-                return dets, embeds
+                # score-descending output -> top-kcap crops only
+                top = jax.tree.map(lambda t: t[:kcap], dets)
+                embeds = reid.apply(reid_p, crop_and_resize(img, top.boxes))
+                return top, embeds
 
             _fused = jax.jit(_fused)
             self._det_reid_step = lambda img, shape: _fused(

@@ -227,3 +227,123 @@ def modulated_deform_conv_fused(
     if bias is not None:
         out = out + bias
     return out
+
+
+def modulated_deform_conv_windowed(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    kernel_size: int = 3,
+    deform_groups: int = 1,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Gather-FREE DCNv2: the TPU speed-of-light formulation.
+
+    The bilinear sample at ``p + base_k + Δ_k(p)`` equals a sum over the
+    integer displacements d of hat-function weights
+    ``max(0, 1-|Δy+base_y-dy|) * max(0, 1-|Δx+base_x-dx|)`` times the
+    STATICALLY shifted input ``x[p+d]`` — the hat vanishes except at the
+    two integer neighbors per axis, so this is exactly the 4-corner
+    bilinear. With offsets clamped to ``[-radius, radius]`` the sum is a
+    static (2·radius+3)^2 window per tap: pure VPU fmas over contiguous
+    slices of the padded input + one matmul per tap, ZERO gathers.
+    Out-of-image corners contribute zero via the zero padding — identical
+    boundary semantics to ``dmcn_im2col_bilinear``.
+
+    Structured as a ``lax.scan`` over the K taps (the window unrolled
+    inside) so the HLO holds ONE tap body — the fully unrolled form took
+    >9 min to compile on the tunnel backend.
+
+    Equal to :func:`modulated_deform_conv` whenever every offset satisfies
+    ``|Δ| <= radius`` (golden: tests/test_dcn_golden.py). The TAF
+    aggregators' offsets come from a zero-initialized conv and stay small
+    throughout training; ``radius`` bounds them like any other
+    architectural prior. The gather forms measured 222 ms fwd at the TAF
+    stage-1 shape (v5e, 152x252x128 g=8) — gathers serialize on TPU; this
+    form runs on the VPU/MXU at full rate.
+    """
+    h, w, cin = x.shape
+    k = kernel_size
+    kk = k * k
+    g = deform_groups
+    cpg = cin // g
+    r = radius
+    pad = r + 2  # window reach: base (±1) + radius + 1 bilinear neighbor
+
+    dyo = jnp.clip(offset.reshape(h, w, g, 2, kk)[:, :, :, 0, :], -r, r)
+    dxo = jnp.clip(offset.reshape(h, w, g, 2, kk)[:, :, :, 1, :], -r, r)
+    m = mask.reshape(h, w, g, kk)
+
+    base_y = jnp.asarray([t // k - (k - 1) // 2 for t in range(kk)],
+                         jnp.int32)
+    base_x = jnp.asarray([t % k - (k - 1) // 2 for t in range(kk)],
+                         jnp.int32)
+    xpad = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)))
+    # group->channel expansion matrix: wfull = wgt @ expand keeps every
+    # elementwise op in the [H, W, Cin] 128-lane layout — the
+    # reshape-to-[H, W, G, Cpg] formulation ran the window fmas on
+    # 16-lane vectors (measured 142 ms fwd at TAF stage-1; this one cuts
+    # the per-pass cost ~Cpg-fold)
+    expand = (jnp.arange(cin) // cpg == jnp.arange(g)[:, None]
+              ).astype(jnp.float32)  # [G, Cin]
+    w_taps = weight.reshape(kk, cin, -1)
+    cout = w_taps.shape[-1]
+
+    @jax.checkpoint
+    def _tap_sample(per_tap):
+        """One tap's masked windowed sample — rematerialized in backward:
+        saving the [H, W, Cin] per-tap samples across the K-tap scan OOMed
+        16G chips (the window recompute is cheap VPU work)."""
+        by, bx, sy_off, sx_off, m_t = per_tap
+        # sy/sx: fractional sample displacement of this tap, [H, W, G]
+        sy = sy_off + by.astype(jnp.float32)
+        sx = sx_off + bx.astype(jnp.float32)
+        samp = jnp.zeros((h, w, cin), jnp.float32)
+        for dyi_rel in range(-r - 1, r + 2):
+            for dxi_rel in range(-r - 1, r + 2):
+                # shifted slice x[p + (by + dyi_rel, bx + dxi_rel)]
+                sh = jax.lax.dynamic_slice(
+                    xpad, (pad + by + dyi_rel, pad + bx + dxi_rel, 0),
+                    (h, w, cin))
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(sy - (by + dyi_rel)))
+                wx = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(sx - (bx + dxi_rel)))
+                wgt = wy * wx  # [H, W, G]
+                if g == 1:
+                    samp = samp + sh * wgt[:, :, 0, None]
+                else:
+                    wfull = jax.lax.dot_general(
+                        wgt, expand, (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    samp = samp + sh * wfull
+        if g == 1:
+            samp = samp * m_t[:, :, 0, None]
+        else:
+            mfull = jax.lax.dot_general(
+                m_t, expand, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            samp = samp * mfull
+        return samp
+
+    def tap_body(acc, per_tap):
+        *sample_args, w_t = per_tap
+        samp = _tap_sample(tuple(sample_args))
+        out_t = jax.lax.dot_general(
+            samp.reshape(h * w, cin), w_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc + out_t, None
+
+    acc0 = jnp.zeros((h * w, cout), jnp.float32)
+    per_tap = (base_y, base_x,
+               jnp.moveaxis(dyo, -1, 0),  # [K, H, W, G]
+               jnp.moveaxis(dxo, -1, 0),
+               jnp.moveaxis(m, -1, 0),
+               w_taps)
+    out, _ = jax.lax.scan(tap_body, acc0, per_tap)
+    out = out.reshape(h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out

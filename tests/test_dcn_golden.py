@@ -141,3 +141,50 @@ class TestFusedVariant:
         c = modulated_deform_conv_fused(x, off, m, wt, b, deform_groups=g)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestWindowedVariant:
+    """The gather-free windowed-hat DCNv2 equals the exact gather form
+    whenever |offset| <= radius (the TAF training configuration — offsets
+    come from a zero-init conv and stay small)."""
+
+    @pytest.mark.parametrize("seed,g,r", [(0, 1, 3), (1, 4, 3), (2, 8, 2)])
+    def test_windowed_matches_scan_within_radius(self, seed, g, r):
+        from lowlightenvironmentvideoobjectdetection_tpu.ops.deform_conv import (
+            modulated_deform_conv, modulated_deform_conv_windowed,
+        )
+
+        rs = np.random.RandomState(seed)
+        h, w, cin, cout, k = 9, 11, 16, 8, 3
+        x = jnp.asarray(rs.randn(h, w, cin).astype(np.float32))
+        off = jnp.asarray(np.clip(rs.randn(h, w, g * 2 * k * k) * 1.5,
+                                  -r, r).astype(np.float32))
+        m = jnp.asarray(rs.uniform(0, 1, (h, w, g * k * k)
+                                   ).astype(np.float32))
+        wt = jnp.asarray(rs.randn(k, k, cin, cout).astype(np.float32))
+        b = jnp.asarray(rs.randn(cout).astype(np.float32))
+        a = modulated_deform_conv(x, off, m, wt, b, deform_groups=g)
+        c = modulated_deform_conv_windowed(x, off, m, wt, b,
+                                           deform_groups=g, radius=r)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_out_of_window_offsets_clamp(self):
+        """Offsets beyond the radius saturate at the window edge (the
+        documented semantic difference from the unbounded gather form)."""
+        from lowlightenvironmentvideoobjectdetection_tpu.ops.deform_conv import (
+            modulated_deform_conv, modulated_deform_conv_windowed,
+        )
+
+        rs = np.random.RandomState(3)
+        h, w, cin, cout, k, r = 9, 11, 8, 4, 3, 2
+        x = jnp.asarray(rs.randn(h, w, cin).astype(np.float32))
+        big = jnp.asarray(np.full((h, w, 2 * k * k), 5.0, np.float32))
+        clamped = jnp.asarray(np.full((h, w, 2 * k * k), float(r),
+                                      np.float32))
+        m = jnp.asarray(np.ones((h, w, k * k), np.float32))
+        wt = jnp.asarray(rs.randn(k, k, cin, cout).astype(np.float32))
+        got = modulated_deform_conv_windowed(x, big, m, wt, radius=r)
+        want = modulated_deform_conv(x, clamped, m, wt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)

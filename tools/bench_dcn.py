@@ -17,17 +17,26 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(fn, args, n_long=8, n_short=2):
+def chain_time(fn, args, n_long=3, n_short=1, label=""):
     """Differential serial-chain timing: feed output back into input."""
     c_long = jax.jit(lambda *a: chain_args(fn, a, n_long))
     c_short = jax.jit(lambda *a: chain_args(fn, a, n_short))
-    # warm up
-    jax.block_until_ready(c_long(*args))
+    t0 = time.perf_counter()
     jax.block_until_ready(c_short(*args))
+    print(f"  [{label}] short compiled+ran in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    jax.block_until_ready(c_long(*args))
+    print(f"  [{label}] long compiled+ran in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     np.asarray(jax.tree.leaves(c_short(*args))[0])
     t_short = time.perf_counter() - t0
@@ -50,6 +59,10 @@ def main():
     p.add_argument("--w", type=int, default=252)
     p.add_argument("--c", type=int, default=128)
     p.add_argument("--groups", type=int, default=8)
+    p.add_argument("--skip-scan", action="store_true")
+    p.add_argument("--skip-fused", action="store_true")
+    p.add_argument("--skip-windowed", action="store_true")
+    p.add_argument("--radius", type=int, default=3)
     args = p.parse_args()
 
     from lowlightenvironmentvideoobjectdetection_tpu.ops import deform_conv as DC
@@ -64,9 +77,14 @@ def main():
                                    ).astype(np.float32))
     weight = jnp.asarray(rng.randn(k, k, c, c).astype(np.float32) * 0.05)
 
-    variants = {"scan_gather": DC.modulated_deform_conv}
-    if hasattr(DC, "modulated_deform_conv_fused"):
+    variants = {}
+    if not args.skip_windowed:
+        variants["windowed"] = lambda *a, **k: \
+            DC.modulated_deform_conv_windowed(*a, radius=args.radius, **k)
+    if not args.skip_fused:
         variants["fused_gather"] = DC.modulated_deform_conv_fused
+    if not args.skip_scan:
+        variants["scan_gather"] = DC.modulated_deform_conv
 
     for name, fn in variants.items():
         def fwd(x_, o_, m_):
@@ -79,8 +97,8 @@ def main():
             gx, go, gm = jax.grad(loss, argnums=(0, 1, 2))(x_, o_, m_)
             return x_ + gx * 1e-9, o_ + go * 1e-9, m_ + gm * 1e-9
 
-        t_f = chain_time(fwd, (x, offset, mask))
-        t_fb = chain_time(fwdbwd, (x, offset, mask))
+        t_f = chain_time(fwd, (x, offset, mask), label=name + ":fwd")
+        t_fb = chain_time(fwdbwd, (x, offset, mask), label=name + ":fwdbwd")
         print(f"{name}: fwd {t_f * 1e3:.2f} ms  fwd+bwd {t_fb * 1e3:.2f} ms "
               f"@ {h}x{w}x{c} g={g}")
 
