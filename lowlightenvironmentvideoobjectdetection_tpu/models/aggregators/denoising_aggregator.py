@@ -67,6 +67,10 @@ class ModulatedDCNPack(nn.Module):
     out_channels: int
     deform_groups: int = 8
     dtype: Any = jnp.float32
+    # 'windowed' (gather-free, radius-3 — the on-chip fast path) or 'scan'
+    # (exact unbounded-offset gather form; also ~3x cheaper to COMPILE on
+    # XLA-CPU, used by the multi-chip dryrun)
+    dcn_impl: str = "windowed"
 
     @nn.compact
     def __call__(self, x, extra_feat):
@@ -102,11 +106,15 @@ class ModulatedDCNPack(nn.Module):
             # zero-initialized conv_offset and stay well inside the
             # radius-3 window throughout training; bilinear-exact within
             # it (tests/test_dcn_golden.py::TestWindowedVariant).
+            o2 = oi.reshape(*oi.shape[:2], -1)
+            m2 = mi.reshape(*mi.shape[:2], -1)
+            if self.dcn_impl == "scan":
+                return modulated_deform_conv(
+                    xi, o2, m2, weight, bias, kernel_size=k,
+                    deform_groups=g)
             return modulated_deform_conv_windowed(
-                xi,
-                oi.reshape(*oi.shape[:2], -1),
-                mi.reshape(*mi.shape[:2], -1),
-                weight, bias, kernel_size=k, deform_groups=g, radius=3,
+                xi, o2, m2, weight, bias, kernel_size=k, deform_groups=g,
+                radius=3,
             )
 
         return jax.vmap(one)(x, offset, mask)
@@ -117,6 +125,7 @@ class TemporalAttentionFusion(nn.Module):
     mid_channels: int
     emb_nums: int = 3
     dtype: Any = jnp.float32
+    dcn_impl: str = "windowed"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,6 +138,7 @@ class TemporalAttentionFusion(nn.Module):
         offset_conv = nn.Conv(self.mid_channels, (3, 3), padding=[(1, 1)] * 2,
                               dtype=self.dtype, name="offset_conv")
         dcn = ModulatedDCNPack(self.mid_channels, deform_groups=8,
+                               dcn_impl=self.dcn_impl,
                                dtype=self.dtype, name="dcn_pack")
         emb_convs = [
             nn.Conv(self.mid_channels, (3, 3), padding=[(1, 1)] * 2,
@@ -169,6 +179,7 @@ class DenoisingAggregator(nn.Module):
     with_rdb: bool = True
     with_taf: bool = True
     dtype: Any = jnp.float32
+    dcn_impl: str = "windowed"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -182,7 +193,7 @@ class DenoisingAggregator(nn.Module):
         if self.with_taf:
             h = TemporalAttentionFusion(
                 self.channels, self.mid_channels, emb_nums=self.emb_nums,
-                dtype=self.dtype, name="taf"
+                dtype=self.dtype, dcn_impl=self.dcn_impl, name="taf"
             )(h)
         h = nn.Conv(self.channels, (3, 3), padding=[(1, 1)] * 2,
                     dtype=self.dtype, name="conv2")(h)
@@ -203,6 +214,7 @@ class Denoising2Aggregator(nn.Module):
     with_rdb: Sequence[bool] = (True, True, True, True)
     with_taf: Sequence[bool] = (True, True, True, True)
     dtype: Any = jnp.float32
+    dcn_impl: str = "windowed"
 
     @nn.compact
     def __call__(
@@ -233,7 +245,7 @@ class Denoising2Aggregator(nn.Module):
                 x = RematTAF(
                     self.in_channels[i], self.mid_channels[i],
                     emb_nums=self.taf_embs[i], dtype=self.dtype,
-                    name=f"stage{i}_taf",
+                    dcn_impl=self.dcn_impl, name=f"stage{i}_taf",
                 )(x)
             x_noise_out.append(x + x_noise[i])
             inp = x if i == n - 1 else x + x_noise[i]

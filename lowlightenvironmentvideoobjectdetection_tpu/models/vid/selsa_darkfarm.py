@@ -54,6 +54,9 @@ class DarkfarmConfig:
     # llvod_l1234_fusion_add_i1234[_rdb][_taf]_darkfarm.py)
     agg_rdb: bool = True
     agg_taf: bool = True
+    # TAF DCNv2 implementation: 'windowed' (on-chip fast path) or 'scan'
+    # (unbounded offsets; ~3x cheaper XLA-CPU compile — the dryrun's pick)
+    agg_dcn_impl: str = "windowed"
     # which feature-loss branches supervise when the aggregator is on:
     # 'both' (default), 'u' (undenoised only — llvod_l1234u_*), or
     # 'd' (denoised only — llvod_l1234d_*)
@@ -116,6 +119,7 @@ class SelsaDarkfarmDetector(nn.Module):
                 with_rdb=(self.cfg.agg_rdb,) * len(chans),
                 with_taf=(self.cfg.agg_taf,) * len(chans),
                 dtype=self.cfg.selsa.compute_dtype,
+                dcn_impl=self.cfg.agg_dcn_impl,
                 name="aggregator",
             )
 
