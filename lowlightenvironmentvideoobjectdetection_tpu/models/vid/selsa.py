@@ -123,8 +123,12 @@ class SelsaConfig:
     # trading a little HBM for most of the recompute FLOPs (the round-5
     # training-MFU lever). False skips jax.checkpoint — used by the
     # multi-chip CPU dryrun where the doubled backward HLO only slows
-    # XLA-CPU compile.
-    remat: Any = True
+    # XLA-CPU compile. Round-5 on-chip A/B at the reference training shapes
+    # (608x1024, 3 frames): False = 17.38 steps/s @ 4.12 GB HBM vs
+    # True = 15.60 @ 2.77 GB and "dots" = 15.23 — the backbone recompute
+    # buys memory SELSA doesn't need, so no-remat is the default; the
+    # 5-stage paired-input flagship (10.7 GB with remat) overrides to True.
+    remat: Any = False
     # packed-input streaming contract: the model consumes frames already
     # space-to-depth packed by the host pipeline alongside normalize/pad
     # (like the MLPerf ResNet TPU submissions' conv0 transform). Level 1 =

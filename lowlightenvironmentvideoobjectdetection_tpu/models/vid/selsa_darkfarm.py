@@ -42,6 +42,7 @@ class DarkfarmConfig:
     selsa: SelsaConfig = SelsaConfig(
         num_classes=8,  # DarkFarm farm classes
         out_indices=(0, 1, 2, 3, 3),  # stages 1-4 for the loss + neck input
+        remat=True,  # paired 5-stage backbone: keep the HBM saver on
     )
     loss_type: str = "l1"  # 'l1' | 'l2' | 'smooth_l1'
     with_cleaner: bool = True

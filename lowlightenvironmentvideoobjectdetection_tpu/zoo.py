@@ -70,6 +70,9 @@ def _darkfarm(num_classes, loss_type, with_cleaner, out_indices, in_channels=3,
               dual_branch="both", **kw):
     from .models.vid.selsa_darkfarm import DarkfarmConfig, make_darkfarm
 
+    # the paired-input 5-stage darkfarm models are the HBM-tight ones:
+    # keep the backbone remat on unless the config says otherwise
+    kw.setdefault("remat", True)
     cfg = DarkfarmConfig(
         selsa=_selsa_cfg(num_classes=num_classes, out_indices=out_indices, **kw),
         loss_type=loss_type, with_cleaner=with_cleaner, in_channels=in_channels,
