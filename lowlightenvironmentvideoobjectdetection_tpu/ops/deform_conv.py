@@ -300,10 +300,7 @@ def modulated_deform_conv_windowed(
         # sy/sx: fractional sample displacement of this tap, [H, W, G]
         sy = sy_off + by.astype(jnp.float32)
         sx = sx_off + bx.astype(jnp.float32)
-        # window math in the input dtype (bf16 in the flagship): only the
-        # <=4 bilinear-corner terms are nonzero per pixel, and the final
-        # contraction still accumulates fp32 on the MXU
-        samp = jnp.zeros((h, w, cin), x.dtype)
+        samp = jnp.zeros((h, w, cin), jnp.float32)
         for dyi_rel in range(-r - 1, r + 2):
             for dxi_rel in range(-r - 1, r + 2):
                 # shifted slice x[p + (by + dyi_rel, bx + dxi_rel)]
@@ -316,19 +313,19 @@ def modulated_deform_conv_windowed(
                     0.0, 1.0 - jnp.abs(sx - (bx + dxi_rel)))
                 wgt = wy * wx  # [H, W, G]
                 if g == 1:
-                    samp = samp + sh * wgt[:, :, 0, None].astype(x.dtype)
+                    samp = samp + sh * wgt[:, :, 0, None]
                 else:
                     wfull = jax.lax.dot_general(
                         wgt, expand, (((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    samp = samp + sh * wfull.astype(x.dtype)
+                    samp = samp + sh * wfull
         if g == 1:
-            samp = samp * m_t[:, :, 0, None].astype(x.dtype)
+            samp = samp * m_t[:, :, 0, None]
         else:
             mfull = jax.lax.dot_general(
                 m_t, expand, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            samp = samp * mfull.astype(x.dtype)
+            samp = samp * mfull
         return samp
 
     def tap_body(acc, per_tap):
