@@ -6,6 +6,7 @@ Baseline anchor: the reference's published SELSA R50-DC5 inference speed of
 BASELINE.md. vs_baseline = our fps / 7.5.
 """
 
+import argparse
 import json
 import time
 
@@ -35,7 +36,7 @@ from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
 BASELINE_FPS = 7.5
 
 
-def main():
+def main(mode: str = "clip"):
     # packed-input streaming contract (input_packed=2): frames arrive
     # space-to-depth packed twice, [H/4, W/4, 48] — the host pipeline packs
     # alongside normalize/pad (pack_frame x2); conv1 runs as a dense 3x3
@@ -96,13 +97,51 @@ def main():
         jax.device_get(dets.scores.sum())
         return time.perf_counter() - t0
 
-    # median of 3 differentials for tunnel-noise robustness
-    diffs = []
-    for _ in range(3):
-        t_short, t_long = run(20), run(220)
-        diffs.append(t_long - t_short)
-    diffs.sort()
-    fps = 200.0 / max(diffs[1], 1e-9)
+    if mode == "clip":
+        # whole-clip mode: the memo scan runs as ONE compiled program
+        # (models/vid/selsa.py inference_clip — the "zero host round-trips"
+        # north-star form). Robust against tunnel dispatch latency: the
+        # per-frame streaming loop pays one RPC per frame, which on a
+        # degraded tunnel day swamped the 2.5 ms/frame device compute
+        # (392.7 -> 137.7 "fps" with an identical graph); a clip is one
+        # dispatch regardless of length.
+        from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
+            inference_clip,
+        )
+
+        def clip_fps(n_short, n_long):
+            def run_clip(frames):
+                st, dets = inference_clip(
+                    model, params, clone(state), frames, img_shape,
+                    scale_factor, anchors)
+                return dets.scores.sum()
+
+            run_clip = jax.jit(run_clip)
+            mk = lambda n: jnp.broadcast_to(frame, (n,) + frame.shape)
+            f_s, f_l = mk(n_short), mk(n_long)
+            float(jax.device_get(run_clip(f_s)))  # compile short
+            float(jax.device_get(run_clip(f_l)))  # compile long
+            diffs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jax.device_get(run_clip(f_s)))
+                t_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(jax.device_get(run_clip(f_l)))
+                t_l = time.perf_counter() - t0
+                diffs.append(t_l - t_s)
+            diffs.sort()
+            return (n_long - n_short) / max(diffs[1], 1e-9)
+
+        fps = clip_fps(20, 120)
+    else:
+        # per-frame streaming dispatch (the interactive inference_vid path)
+        diffs = []
+        for _ in range(3):
+            t_short, t_long = run(20), run(220)
+            diffs.append(t_long - t_short)
+        diffs.sort()
+        fps = 200.0 / max(diffs[1], 1e-9)
 
     print(
         json.dumps(
@@ -117,4 +156,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="clip", choices=["clip", "stream"])
+    main(ap.parse_args().mode)
