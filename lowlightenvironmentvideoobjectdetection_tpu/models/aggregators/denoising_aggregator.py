@@ -67,10 +67,12 @@ class ModulatedDCNPack(nn.Module):
     out_channels: int
     deform_groups: int = 8
     dtype: Any = jnp.float32
-    # 'windowed' (gather-free, radius-3 — the on-chip fast path) or 'scan'
-    # (exact unbounded-offset gather form; also ~3x cheaper to COMPILE on
-    # XLA-CPU, used by the multi-chip dryrun)
+    # 'windowed' (gather-free — the on-chip fast path) or 'scan' (exact
+    # unbounded-offset gather form; also ~3x cheaper to COMPILE on XLA-CPU,
+    # used by the multi-chip dryrun)
     dcn_impl: str = "windowed"
+    # windowed-form offset clamp; window work scales as (2r+3)^2
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, x, extra_feat):
@@ -114,7 +116,7 @@ class ModulatedDCNPack(nn.Module):
                     deform_groups=g)
             return modulated_deform_conv_windowed(
                 xi, o2, m2, weight, bias, kernel_size=k, deform_groups=g,
-                radius=3,
+                radius=self.dcn_radius,
             )
 
         return jax.vmap(one)(x, offset, mask)
@@ -126,6 +128,7 @@ class TemporalAttentionFusion(nn.Module):
     emb_nums: int = 3
     dtype: Any = jnp.float32
     dcn_impl: str = "windowed"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -139,6 +142,7 @@ class TemporalAttentionFusion(nn.Module):
                               dtype=self.dtype, name="offset_conv")
         dcn = ModulatedDCNPack(self.mid_channels, deform_groups=8,
                                dcn_impl=self.dcn_impl,
+                               dcn_radius=self.dcn_radius,
                                dtype=self.dtype, name="dcn_pack")
         emb_convs = [
             nn.Conv(self.mid_channels, (3, 3), padding=[(1, 1)] * 2,
@@ -180,6 +184,7 @@ class DenoisingAggregator(nn.Module):
     with_taf: bool = True
     dtype: Any = jnp.float32
     dcn_impl: str = "windowed"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -193,7 +198,8 @@ class DenoisingAggregator(nn.Module):
         if self.with_taf:
             h = TemporalAttentionFusion(
                 self.channels, self.mid_channels, emb_nums=self.emb_nums,
-                dtype=self.dtype, dcn_impl=self.dcn_impl, name="taf"
+                dtype=self.dtype, dcn_impl=self.dcn_impl,
+                dcn_radius=self.dcn_radius, name="taf"
             )(h)
         h = nn.Conv(self.channels, (3, 3), padding=[(1, 1)] * 2,
                     dtype=self.dtype, name="conv2")(h)
@@ -215,6 +221,7 @@ class Denoising2Aggregator(nn.Module):
     with_taf: Sequence[bool] = (True, True, True, True)
     dtype: Any = jnp.float32
     dcn_impl: str = "windowed"
+    dcn_radius: int = 3
 
     @nn.compact
     def __call__(
@@ -245,7 +252,8 @@ class Denoising2Aggregator(nn.Module):
                 x = RematTAF(
                     self.in_channels[i], self.mid_channels[i],
                     emb_nums=self.taf_embs[i], dtype=self.dtype,
-                    dcn_impl=self.dcn_impl, name=f"stage{i}_taf",
+                    dcn_impl=self.dcn_impl, dcn_radius=self.dcn_radius,
+                    name=f"stage{i}_taf",
                 )(x)
             x_noise_out.append(x + x_noise[i])
             inp = x if i == n - 1 else x + x_noise[i]

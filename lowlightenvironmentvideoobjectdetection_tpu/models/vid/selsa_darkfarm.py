@@ -58,6 +58,7 @@ class DarkfarmConfig:
     # TAF DCNv2 implementation: 'windowed' (on-chip fast path) or 'scan'
     # (unbounded offsets; ~3x cheaper XLA-CPU compile — the dryrun's pick)
     agg_dcn_impl: str = "windowed"
+    agg_dcn_radius: int = 3
     # which feature-loss branches supervise when the aggregator is on:
     # 'both' (default), 'u' (undenoised only — llvod_l1234u_*), or
     # 'd' (denoised only — llvod_l1234d_*)
@@ -121,6 +122,7 @@ class SelsaDarkfarmDetector(nn.Module):
                 with_taf=(self.cfg.agg_taf,) * len(chans),
                 dtype=self.cfg.selsa.compute_dtype,
                 dcn_impl=self.cfg.agg_dcn_impl,
+                dcn_radius=self.cfg.agg_dcn_radius,
                 name="aggregator",
             )
 

@@ -83,7 +83,7 @@ def _make_selsa(tiny, packed=0, remat=True):
 
 
 def _make_flagship(tiny, agg_taf=True, agg_rdb=True, with_aggregator=True,
-                   remat=True):
+                   remat=True, dcn_radius=3):
     import dataclasses
 
     from lowlightenvironmentvideoobjectdetection_tpu.models.vid.selsa import (
@@ -101,7 +101,8 @@ def _make_flagship(tiny, agg_taf=True, agg_rdb=True, with_aggregator=True,
         remat=remat)
     cfg = DarkfarmConfig(selsa=scfg, with_aggregator=with_aggregator,
                          agg_rdb=agg_rdb, agg_taf=agg_taf,
-                         with_cleaner=True, loss_type="l1")
+                         with_cleaner=True, loss_type="l1",
+                         agg_dcn_radius=dcn_radius)
     model = SelsaDarkfarmDetector(cfg=cfg)
     params = init_darkfarm_params(model, jax.random.PRNGKey(0))
     anchors = make_anchors(scfg)
@@ -188,6 +189,8 @@ def main():
     p.add_argument("--no-taf", action="store_true")
     p.add_argument("--no-rdb", action="store_true")
     p.add_argument("--no-aggregator", action="store_true")
+    p.add_argument("--dcn-radius", type=int, default=3,
+                   help="windowed-DCN offset clamp for the flagship A/B")
     p.add_argument("--remat", default="true", choices=["true", "dots", "false"],
                    help="backbone remat policy for the A/B: full checkpoint, "
                         "dots-saveable, or no remat")
@@ -209,7 +212,7 @@ def main():
             *_make_flagship(args.tiny, agg_taf=not args.no_taf,
                             agg_rdb=not args.no_rdb,
                             with_aggregator=not args.no_aggregator,
-                            remat=remat),
+                            remat=remat, dcn_radius=args.dcn_radius),
             args.steps, args.peak_tflops)
     print(json.dumps(out))
 
