@@ -58,7 +58,12 @@ class DarkfarmConfig:
     # TAF DCNv2 implementation: 'windowed' (on-chip fast path) or 'scan'
     # (unbounded offsets; ~3x cheaper XLA-CPU compile — the dryrun's pick)
     agg_dcn_impl: str = "windowed"
-    agg_dcn_radius: int = 3
+    # windowed-DCN offset clamp (feature-resolution pixels). On-chip A/B at
+    # the reference training shapes: radius 2 = 0.602 steps/s (MFU 7.8%) vs
+    # radius 3 = 0.401 — the window work scales (2r+3)^2 and the TAF's
+    # temporal alignment between adjacent frames lives within a few feature
+    # pixels (offsets come from a zero-init conv).
+    agg_dcn_radius: int = 2
     # which feature-loss branches supervise when the aggregator is on:
     # 'both' (default), 'u' (undenoised only — llvod_l1234u_*), or
     # 'd' (denoised only — llvod_l1234d_*)
